@@ -1,0 +1,138 @@
+"""Branch-and-bound over dual active-set relaxations for hybrid MPC.
+
+TPU-native analog of DAQP's MIQP branch-and-bound (reference: ccall at
+src/utils.jl:277-280, senses BINARY at src/mpc2mpqp.jl:883-884). A binary
+constraint must hold with equality at its upper or lower bound. Each node
+fixes a subset of binary rows to one bound and solves the relaxation with
+the same masked dual active-set kernel (``forced_mask``/``forced_side``).
+
+The search is depth-first with a fixed-capacity per-lane node stack so that
+thousands of instances run in lockstep under ``vmap``: lanes that finish
+early are masked out by the ``while_loop`` batching rule. Branching picks
+the most fractional unfixed binary row; children are pushed so the bound
+nearer the relaxed solution is explored first.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .dual_active_set import LDPArrays, Solution, solve_single
+
+
+class BnBState(NamedTuple):
+    stack_fixed: jax.Array  # (cap, m) bool
+    stack_side: jax.Array   # (cap, m) bool
+    top: jax.Array          # () int32
+    inc_fval: jax.Array     # () incumbent objective
+    inc_U: jax.Array        # (n,)
+    inc_lam: jax.Array      # (m,)
+    inc_active: jax.Array   # (m,) bool
+    inc_side: jax.Array     # (m,) bool
+    inc_found: jax.Array    # () bool
+    nodes: jax.Array        # () int32
+    iters: jax.Array        # () int32 total inner iterations
+
+
+def solve_bnb_single(
+    ldp: LDPArrays,
+    theta: jax.Array,
+    *,
+    stack_cap: int = 64,
+    node_limit: int = 1024,
+    max_iter: int = 500,
+    primal_tol: float = 1e-6,
+    sign_tol: float = 1e-12,
+    bin_tol: float = 1e-6,
+) -> Solution:
+    """Solve one hybrid LDP instance. Wrap in ``jax.vmap`` for batches."""
+    dtype = ldp.G.dtype
+    m = ldp.G.shape[0]
+    n = ldp.u_off.shape[0]
+    theta = theta.astype(dtype)
+    is_bin = ldp.is_binary
+
+    du_t = ldp.du + ldp.Dth @ theta
+    dl_t = ldp.dl + ldp.Dth @ theta
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def body(s: BnBState) -> BnBState:
+        # pop the top node
+        node_idx = s.top - 1
+        fixed = s.stack_fixed[node_idx]
+        side = s.stack_side[node_idx]
+        top = s.top - 1
+
+        sol = solve_single(
+            ldp, theta,
+            max_iter=max_iter, primal_tol=primal_tol, sign_tol=sign_tol,
+            forced_mask=fixed, forced_side=side,
+        )
+
+        feasible = sol.status > 0
+        pruned = (~feasible) | (s.inc_found & (sol.fval >= s.inc_fval))
+
+        # fractionality of unfixed binary rows: distance to the nearer bound
+        c = ldp.G @ sol.lam
+        slack_up = du_t + c
+        slack_lo = -dl_t - c
+        frac = jnp.minimum(slack_up, slack_lo)
+        frac = jnp.where(is_bin & ~fixed, frac, -big)
+        jb = jnp.argmax(frac)
+        integral = frac[jb] <= bin_tol
+
+        # incumbent update
+        better = feasible & integral & (~pruned) & (sol.fval < s.inc_fval)
+        inc_fval = jnp.where(better, sol.fval, s.inc_fval)
+        inc_U = jnp.where(better, sol.U, s.inc_U)
+        inc_lam = jnp.where(better, sol.lam, s.inc_lam)
+        inc_active = jnp.where(better, sol.active, s.inc_active)
+        inc_side = jnp.where(better, sol.side, s.inc_side)
+        inc_found = s.inc_found | better
+
+        # branch on jb: push the farther bound first, nearer bound last (DFS pops it next)
+        branch = (~pruned) & (~integral)
+        onehot = jnp.arange(m) == jb
+        child_fixed = fixed | onehot
+        near_up = slack_up[jb] <= slack_lo[jb]
+        far_side = jnp.where(onehot, ~near_up, side)
+        near_side = jnp.where(onehot, near_up, side)
+
+        def push(stack_fixed, stack_side, top, fix, sd, do):
+            sf = jnp.where(do, stack_fixed.at[top].set(fix), stack_fixed)
+            ss = jnp.where(do, stack_side.at[top].set(sd), stack_side)
+            return sf, ss, top + jnp.int32(do)
+
+        sf, ss, top = push(s.stack_fixed, s.stack_side, top, child_fixed, far_side, branch)
+        sf, ss, top = push(sf, ss, top, child_fixed, near_side, branch & (top < stack_cap))
+
+        return BnBState(
+            sf, ss, top, inc_fval, inc_U, inc_lam, inc_active, inc_side,
+            inc_found, s.nodes + 1, s.iters + sol.iters,
+        )
+
+    def cond(s: BnBState):
+        return (s.top > 0) & (s.nodes < node_limit)
+
+    init = BnBState(
+        stack_fixed=jnp.zeros((stack_cap, m), dtype=bool),
+        stack_side=jnp.zeros((stack_cap, m), dtype=bool),
+        top=jnp.int32(1),  # root node: nothing fixed
+        inc_fval=big,
+        inc_U=jnp.zeros(n, dtype=dtype),
+        inc_lam=jnp.zeros(m, dtype=dtype),
+        inc_active=jnp.zeros(m, dtype=bool),
+        inc_side=jnp.zeros(m, dtype=bool),
+        inc_found=jnp.asarray(False),
+        nodes=jnp.int32(0),
+        iters=jnp.int32(0),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    status = jnp.where(final.inc_found, jnp.int32(1), jnp.int32(-2))
+    return Solution(
+        final.inc_U, final.inc_lam, final.inc_active, final.inc_side,
+        final.inc_fval, final.iters, status,
+    )

@@ -1,0 +1,214 @@
+"""Batched, branch-free dual active-set LDP solver (the framework's core kernel).
+
+TPU-native re-design of the DAQP dual active-set algorithm (Arnstrom,
+Bemporad, Axehill, IEEE TAC 2022; invoked by the reference at
+src/utils.jl:268-283). Instead of the reference's sequential C iteration
+with recursive LDL' up/downdates, every lane of a batch performs the same
+fixed-shape masked iteration:
+
+  1. solve the working-set KKT system through a masked m x m solve
+     (inactive rows are replaced by identity rows, so the solve shape is
+     static and thousands of lanes proceed in lockstep under ``vmap``);
+  2. either take a partial step to the first blocking multiplier and drop
+     that constraint, or accept the iterate and add the most violated
+     constraint -- both outcomes are computed and selected per lane with
+     ``where`` (no data-dependent control flow);
+  3. repeat under ``lax.while_loop`` until every lane converges or the
+     iteration budget is exhausted.
+
+Double-sided constraints are handled DAQP-style with a signed multiplier:
+active-at-upper requires lam >= 0, active-at-lower lam <= 0. Soft
+constraints add ``rho_soft`` to the working-set diagonal (proximal soft
+penalty, reference src/setup.jl:26); equality rows stay active with a
+sign-free multiplier; immutable (infinite-bound) rows are never activated.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ldp import LDPData
+
+
+class LDPArrays(NamedTuple):
+    """Device-resident solver arrays (a pytree; dtype set by the engine)."""
+
+    G: jax.Array
+    G_solve: jax.Array  # G + rho_soft * diag(is_soft)
+    Dth: jax.Array
+    du: jax.Array
+    dl: jax.Array
+    HinvET: jax.Array
+    Uth_off: jax.Array
+    u_off: jax.Array
+    H: jax.Array
+    f: jax.Array
+    f_theta: jax.Array
+    is_eq: jax.Array
+    is_immutable: jax.Array
+    is_soft: jax.Array
+    is_binary: jax.Array
+
+
+class DualState(NamedTuple):
+    lam: jax.Array    # (m,) signed multipliers
+    active: jax.Array  # (m,) bool working set
+    side: jax.Array   # (m,) bool, True = active at upper bound
+    iters: jax.Array  # () int32
+    done: jax.Array   # () bool
+
+
+class Solution(NamedTuple):
+    U: jax.Array       # (n,) primal decision vector
+    lam: jax.Array     # (m,)
+    active: jax.Array  # (m,) bool
+    side: jax.Array    # (m,) bool
+    fval: jax.Array    # () objective value
+    iters: jax.Array   # () int32
+    status: jax.Array  # () int32: 1 = optimal, -1 = iteration limit
+
+
+def to_device_arrays(ldp: LDPData, dtype=jnp.float64) -> LDPArrays:
+    cast = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+    G = cast(ldp.G)
+    G_solve = G + jnp.diag(cast(ldp.rho_soft * ldp.is_soft.astype(np.float64)))
+    return LDPArrays(
+        G=G, G_solve=G_solve,
+        Dth=cast(ldp.Dth), du=cast(ldp.du), dl=cast(ldp.dl),
+        HinvET=cast(ldp.HinvET), Uth_off=cast(ldp.Uth_off), u_off=cast(ldp.u_off),
+        H=cast(ldp.H), f=cast(ldp.f), f_theta=cast(ldp.f_theta),
+        is_eq=jnp.asarray(ldp.is_eq), is_immutable=jnp.asarray(ldp.is_immutable),
+        is_soft=jnp.asarray(ldp.is_soft), is_binary=jnp.asarray(ldp.is_binary),
+    )
+
+
+def cold_state(m: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(lam, active, side) for a cold start; equalities are activated inside
+    ``solve_single`` regardless, so zeros are valid everywhere."""
+    return jnp.zeros(m), jnp.zeros(m, dtype=bool), jnp.ones(m, dtype=bool)
+
+
+def solve_single(
+    ldp: LDPArrays,
+    theta: jax.Array,
+    lam0: jax.Array | None = None,
+    active0: jax.Array | None = None,
+    side0: jax.Array | None = None,
+    *,
+    max_iter: int = 500,
+    primal_tol: float = 1e-6,
+    sign_tol: float = 1e-12,
+    forced_side: jax.Array | None = None,
+    forced_mask: jax.Array | None = None,
+) -> Solution:
+    """Solve one LDP instance parameterized by ``theta``.
+
+    ``forced_mask``/``forced_side`` clamp the given rows to equality at the
+    chosen bound -- the mechanism branch-and-bound uses to fix binary
+    constraints per node (reference: DAQP bnb, SURVEY.md N2).
+    Wrap with ``jax.vmap`` over ``theta`` (and warm-start state) for batches.
+    """
+    dtype = ldp.G.dtype
+    m = ldp.G.shape[0]
+    theta = theta.astype(dtype)
+
+    du_t = ldp.du + ldp.Dth @ theta
+    dl_t = ldp.dl + ldp.Dth @ theta
+
+    is_eq = ldp.is_eq
+    immut = ldp.is_immutable
+    if forced_mask is not None:
+        is_eq = is_eq | forced_mask
+        d_forced = jnp.where(forced_side, du_t, dl_t)
+        du_t = jnp.where(forced_mask, d_forced, du_t)
+        dl_t = jnp.where(forced_mask, d_forced, dl_t)
+
+    lam = jnp.zeros(m, dtype=dtype) if lam0 is None else lam0.astype(dtype)
+    active = is_eq if active0 is None else (active0 | is_eq)
+    side = jnp.ones(m, dtype=bool) if side0 is None else side0
+    lam = jnp.where(active, lam, 0.0)
+
+    idx = jnp.arange(m)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def body(s: DualState) -> DualState:
+        lam, act, side, it, done = s
+        actf = act.astype(dtype)
+        # masked working-set KKT system: inactive rows become identity rows
+        Gmask = ldp.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
+        d_side = jnp.where(side, du_t, dl_t)
+        rhs = -actf * d_side
+        lam_star = jnp.linalg.solve(Gmask, rhs)
+
+        # multipliers of removable active rows must satisfy the side's sign
+        sign_viol = act & ~is_eq & jnp.where(side, lam_star < -sign_tol, lam_star > sign_tol)
+        has_viol = jnp.any(sign_viol)
+
+        # -- blocking step: move toward lam_star until the first multiplier
+        #    crosses zero, then drop that constraint
+        denom = lam - lam_star
+        safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        alpha_i = jnp.where(sign_viol, lam / safe, big)
+        jb = jnp.argmin(alpha_i)
+        alpha = jnp.clip(alpha_i[jb], 0.0, 1.0)
+        lam_B = lam + alpha * (lam_star - lam)
+        lam_B = jnp.where(idx == jb, 0.0, lam_B)
+        act_B = act & (idx != jb)
+
+        # -- acceptance step: take lam_star, then add the most violated row
+        c = ldp.G @ lam_star
+        slack_up = du_t + c
+        slack_lo = -dl_t - c
+        cand = ~act & ~immut
+        v_up = jnp.where(cand, -slack_up, -big)
+        v_lo = jnp.where(cand, -slack_lo, -big)
+        v = jnp.maximum(v_up, v_lo)
+        j = jnp.argmax(v)
+        converged = v[j] <= primal_tol
+        grow = (idx == j) & ~converged
+        act_A = act | grow
+        side_A = jnp.where(grow, v_up[j] >= v_lo[j], side)
+        lam_A = jnp.where(act_A, lam_star, 0.0)
+
+        new_lam = jnp.where(has_viol, lam_B, lam_A)
+        new_act = jnp.where(has_viol, act_B, act_A)
+        new_side = jnp.where(has_viol, side, side_A)
+        new_done = done | (~has_viol & converged)
+
+        lam = jnp.where(done, lam, new_lam)
+        act = jnp.where(done, act, new_act)
+        side = jnp.where(done, side, new_side)
+        return DualState(lam, act, side, it + jnp.int32(~done), new_done)
+
+    def cond(s: DualState):
+        return (~s.done) & (s.iters < max_iter)
+
+    init = DualState(lam, active, side, jnp.int32(0), jnp.asarray(False))
+    final = jax.lax.while_loop(cond, body, init)
+
+    U = ldp.u_off + ldp.Uth_off @ theta - ldp.HinvET @ final.lam
+    f_t = ldp.f + ldp.f_theta @ theta
+    fval = 0.5 * U @ (ldp.H @ U) + f_t @ U
+    status = jnp.where(final.done, jnp.int32(1), jnp.int32(-1))
+    return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
+
+
+def solve_batch(
+    ldp: LDPArrays,
+    thetas: jax.Array,
+    lam0: jax.Array | None = None,
+    active0: jax.Array | None = None,
+    side0: jax.Array | None = None,
+    **kw,
+) -> Solution:
+    """vmap of ``solve_single`` over a (B, n_theta) parameter batch, with
+    optional per-lane warm starts."""
+    if lam0 is None:
+        fn = lambda th: solve_single(ldp, th, **kw)
+        return jax.vmap(fn)(thetas)
+    fn = lambda th, l0, a0, s0: solve_single(ldp, th, l0, a0, s0, **kw)
+    return jax.vmap(fn)(thetas, lam0, active0, side0)

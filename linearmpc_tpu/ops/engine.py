@@ -1,0 +1,84 @@
+"""Solver engine: jitted entry points around the batched dual active-set core.
+
+Plays the role of the reference's DAQP workspace (``opt_model``,
+src/setup.jl:11-26 + src/utils.jl:268-283): holds the lowered LDP arrays on
+device, jit-compiles the solve paths once, and exposes host-friendly
+single-instance and batched entry points (plus branch-and-bound for hybrid
+problems).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dual_active_set import LDPArrays, Solution, solve_batch, solve_single, to_device_arrays
+from .ldp import LDPData
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class SolverEngine:
+    def __init__(
+        self,
+        ldp: LDPData,
+        *,
+        dtype=None,
+        iter_limit: int = 1000,
+        primal_tol: float = 1e-6,
+        sign_tol: float = 1e-12,
+        has_binaries: bool = False,
+        bnb_node_limit: int = 4096,
+    ):
+        self.ldp = ldp
+        self.dtype = default_dtype() if dtype is None else dtype
+        self.arrays: LDPArrays = to_device_arrays(ldp, self.dtype)
+        self.iter_limit = int(iter_limit)
+        self.primal_tol = float(primal_tol)
+        self.sign_tol = float(sign_tol)
+        self.has_binaries = bool(has_binaries)
+        self.bnb_node_limit = int(bnb_node_limit)
+
+        kw = dict(max_iter=self.iter_limit, primal_tol=self.primal_tol, sign_tol=self.sign_tol)
+        self._single = jax.jit(partial(solve_single, **kw))
+        self._batched = jax.jit(partial(solve_batch, **kw))
+
+        if self.has_binaries:
+            from .bnb import solve_bnb_single
+
+            nb = int(np.sum(ldp.is_binary))
+            stack_cap = max(2 * nb + 2, 4)
+            bnb_kw = dict(stack_cap=stack_cap, node_limit=self.bnb_node_limit, **kw)
+            self._bnb = jax.jit(partial(solve_bnb_single, **bnb_kw))
+            self._bnb_batched = jax.jit(jax.vmap(partial(solve_bnb_single, self.arrays, **bnb_kw)))
+
+    # -- host-facing single solve (reference solve(), src/utils.jl:268-283)
+    def solve(self, theta) -> tuple[np.ndarray, float, int, dict]:
+        theta = jnp.asarray(np.asarray(theta, dtype=np.float64), dtype=self.dtype)
+        if self.has_binaries:
+            sol: Solution = self._bnb(self.arrays, theta)
+        else:
+            sol = self._single(self.arrays, theta)
+        status = int(sol.status)
+        info = {
+            "iterations": int(sol.iters),
+            "lam": np.asarray(sol.lam),
+            "active": np.asarray(sol.active),
+            "side": np.asarray(sol.side),
+        }
+        return np.asarray(sol.U, dtype=np.float64), float(sol.fval), status, info
+
+    # -- device-facing batched solve
+    def solve_batch(self, thetas, warm=None) -> Solution:
+        thetas = jnp.asarray(thetas, dtype=self.dtype)
+        if self.has_binaries:
+            return self._bnb_batched(thetas)
+        if warm is None:
+            return self._batched(self.arrays, thetas)
+        lam0, act0, side0 = warm
+        return self._batched(self.arrays, thetas, lam0, act0, side0)

@@ -1,0 +1,113 @@
+"""Lowering of a dense mpQP to batched LDP (least-distance) solver arrays.
+
+The reference solves the condensed QP with DAQP, whose C core first maps the
+QP to a least-distance problem via a Cholesky factor of H (reference
+src/codegen.jl:239-280 ``qp2ldp`` and the external libdaqp). Here the same
+transform is precomputed once on the host, in a form chosen for lockstep
+batched iteration on TPU:
+
+  * ``G  = E H^-1 E'`` -- the (row-normalized) dual Gram matrix shared by
+    every problem instance in a batch (E = [I_bounds; A]);
+  * ``Dth theta + du/dl`` -- per-instance bounds, a single batched matvec;
+  * ``U = u_off + Uth_off theta - HinvET lam`` -- primal recovery.
+
+Formulating everything through ``H^-1`` (instead of the Cholesky square
+root) also covers the non-symmetric H of game-theoretic MPC (DAQP's AVI
+mode, reference src/setup.jl:12-13) with the identical iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..types import ACTIVE, BINARY, IMMUTABLE, MPQP, SOFT
+
+
+@dataclass
+class LDPData:
+    """Host-side (float64) solver data; cast to the device dtype by the engine."""
+
+    G: np.ndarray        # (m, m) normalized dual Gram matrix E H^-1 E'
+    Dth: np.ndarray      # (m, nth) parametric bound map (normalized)
+    du: np.ndarray       # (m,) upper offsets (normalized)
+    dl: np.ndarray       # (m,) lower offsets (normalized)
+    HinvET: np.ndarray   # (n, m) H^-1 E' (columns normalized)
+    Uth_off: np.ndarray  # (n, nth) -H^-1 f_theta
+    u_off: np.ndarray    # (n,)  -H^-1 f
+    H: np.ndarray        # (n, n) original Hessian (for objective values)
+    f: np.ndarray        # (n,)
+    f_theta: np.ndarray  # (n, nth)
+    is_eq: np.ndarray        # (m,) bool: always-active, sign-free multiplier
+    is_immutable: np.ndarray  # (m,) bool: never activated
+    is_soft: np.ndarray      # (m,) bool
+    is_binary: np.ndarray    # (m,) bool
+    rho_soft: float
+    scaling: np.ndarray  # (m,) row norms used for normalization
+
+    @property
+    def m(self) -> int:
+        return self.G.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.H.shape[0]
+
+    @property
+    def n_theta(self) -> int:
+        return self.Dth.shape[1]
+
+
+def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True) -> LDPData:
+    """Precompute the batched-LDP arrays for an mpQP.
+
+    Rows are normalized by ||E_i H^-1/2|| (= sqrt diag G) so the dual Gram
+    matrix has unit diagonal, matching the row scaling DAQP applies
+    (reference src/codegen.jl:252-268).
+    """
+    H = mpqp.H
+    if mpqp.is_symmetric:
+        H = (H + H.T) / 2
+    E = mpqp.extended_A()
+    m, n = E.shape
+
+    HinvET = np.linalg.solve(H, E.T)
+    G = E @ HinvET
+    Hinv_ftheta = np.linalg.solve(H, mpqp.f_theta)
+    Hinv_f = np.linalg.solve(H, mpqp.f)
+    Dth = mpqp.W + E @ Hinv_ftheta
+    delta_d = E @ Hinv_f
+    du = mpqp.bu + delta_d
+    dl = mpqp.bl + delta_d
+
+    diagG = np.diag(G).copy()
+    scale = np.sqrt(np.maximum(diagG, 0.0))
+    zero_rows = scale <= 1e-14
+    scale = np.where(zero_rows, 1.0, scale)
+    if normalize:
+        Dinv = 1.0 / scale
+        G = G * Dinv[:, None] * Dinv[None, :]
+        Dth = Dth * Dinv[:, None]
+        du = du * Dinv
+        dl = dl * Dinv
+        HinvET = HinvET * Dinv[None, :]
+    else:
+        scale = np.ones(m)
+
+    senses = mpqp.senses
+    is_eq = (senses & ACTIVE) != 0
+    is_immutable = ((senses & IMMUTABLE) != 0) & ~is_eq
+    is_immutable = is_immutable | zero_rows
+    is_soft = (senses & SOFT) != 0
+    is_binary = (senses & BINARY) != 0
+
+    return LDPData(
+        G=G, Dth=Dth, du=du, dl=dl,
+        HinvET=HinvET, Uth_off=-Hinv_ftheta, u_off=-Hinv_f,
+        H=mpqp.H, f=mpqp.f, f_theta=mpqp.f_theta,
+        is_eq=is_eq, is_immutable=is_immutable,
+        is_soft=is_soft, is_binary=is_binary,
+        rho_soft=1.0 / soft_weight,
+        scaling=scale,
+    )
