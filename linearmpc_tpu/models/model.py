@@ -181,8 +181,12 @@ def model_from_continuous(
 
     td = None
     if true_dynamics is not None:
+        # forward-Euler wrap of the continuous dynamics, kept JAX-traceable
+        # so set_operating_point can re-linearize it later
         def td(x, u, d, f=true_dynamics, Ts=Ts):
-            return np.asarray(x, dtype=np.float64) + Ts * np.asarray(f(x, u, d), dtype=np.float64)
+            import jax.numpy as jnp
+
+            return jnp.asarray(x) + Ts * jnp.asarray(f(x, u, d))
 
     return make_model(
         F, G, Ts=Ts, Gd=Gd, C=C, Dd=Dd, f_offset=f_off, h_offset=h_offset,

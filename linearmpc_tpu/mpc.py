@@ -225,12 +225,12 @@ class MPC:
     def move_block(self, block):
         """Hold controls constant over blocks (reference src/setup.jl:209-248).
         ``block`` may be None (clear), an int, a vector, or per-input vectors."""
-        if block is None or (np.ndim(block) == 1 and len(block) == 0):
+        if block is None or (isinstance(block, (list, tuple, np.ndarray)) and len(block) == 0):
             self.move_blocks = []
             self.Nc = self.Np
             self.invalidate()
             return
-        if np.ndim(block) == 0:
+        if not isinstance(block, (list, tuple, np.ndarray)):
             b = int(block)
             if b <= 0:
                 return self.move_block(None)

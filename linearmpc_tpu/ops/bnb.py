@@ -75,12 +75,14 @@ def solve_bnb_single(
         feasible = sol.status > 0
         pruned = (~feasible) | (s.inc_found & (sol.fval >= s.inc_fval))
 
-        # fractionality of unfixed binary rows: distance to the nearer bound
+        # fractionality of unfixed binary rows: distance to the nearer
+        # *viable* (finite) bound -- never branch onto an infinite bound
         c = ldp.G @ sol.lam
-        slack_up = du_t + c
-        slack_lo = -dl_t - c
+        slack_up = jnp.where(ldp.up_finite, du_t + c, big)
+        slack_lo = jnp.where(ldp.lo_finite, -dl_t - c, big)
         frac = jnp.minimum(slack_up, slack_lo)
-        frac = jnp.where(is_bin & ~fixed, frac, -big)
+        branchable = is_bin & ~fixed & ~ldp.is_immutable & (ldp.up_finite | ldp.lo_finite)
+        frac = jnp.where(branchable, frac, -big)
         jb = jnp.argmax(frac)
         integral = frac[jb] <= bin_tol
 
@@ -100,13 +102,14 @@ def solve_bnb_single(
         near_up = slack_up[jb] <= slack_lo[jb]
         far_side = jnp.where(onehot, ~near_up, side)
         near_side = jnp.where(onehot, near_up, side)
+        far_viable = jnp.where(near_up, ldp.lo_finite[jb], ldp.up_finite[jb])
 
         def push(stack_fixed, stack_side, top, fix, sd, do):
             sf = jnp.where(do, stack_fixed.at[top].set(fix), stack_fixed)
             ss = jnp.where(do, stack_side.at[top].set(sd), stack_side)
             return sf, ss, top + jnp.int32(do)
 
-        sf, ss, top = push(s.stack_fixed, s.stack_side, top, child_fixed, far_side, branch)
+        sf, ss, top = push(s.stack_fixed, s.stack_side, top, child_fixed, far_side, branch & far_viable)
         sf, ss, top = push(sf, ss, top, child_fixed, near_side, branch & (top < stack_cap))
 
         return BnBState(

@@ -52,6 +52,8 @@ class LDPArrays(NamedTuple):
     is_immutable: jax.Array
     is_soft: jax.Array
     is_binary: jax.Array
+    up_finite: jax.Array
+    lo_finite: jax.Array
 
 
 class DualState(NamedTuple):
@@ -83,6 +85,7 @@ def to_device_arrays(ldp: LDPData, dtype=jnp.float64) -> LDPArrays:
         H=cast(ldp.H), f=cast(ldp.f), f_theta=cast(ldp.f_theta),
         is_eq=jnp.asarray(ldp.is_eq), is_immutable=jnp.asarray(ldp.is_immutable),
         is_soft=jnp.asarray(ldp.is_soft), is_binary=jnp.asarray(ldp.is_binary),
+        up_finite=jnp.asarray(ldp.up_finite), lo_finite=jnp.asarray(ldp.lo_finite),
     )
 
 
@@ -115,6 +118,14 @@ def solve_single(
     dtype = ldp.G.dtype
     m = ldp.G.shape[0]
     theta = theta.astype(dtype)
+
+    if m == 0:  # unconstrained: closed-form minimizer
+        U = ldp.u_off + ldp.Uth_off @ theta
+        f_t = ldp.f + ldp.f_theta @ theta
+        fval = 0.5 * U @ (ldp.H @ U) + f_t @ U
+        z = jnp.zeros(0, dtype=dtype)
+        zb = jnp.zeros(0, dtype=bool)
+        return Solution(U, z, zb, zb, fval, jnp.int32(0), jnp.int32(1))
 
     du_t = ldp.du + ldp.Dth @ theta
     dl_t = ldp.dl + ldp.Dth @ theta

@@ -43,6 +43,8 @@ class LDPData:
     is_immutable: np.ndarray  # (m,) bool: never activated
     is_soft: np.ndarray      # (m,) bool
     is_binary: np.ndarray    # (m,) bool
+    up_finite: np.ndarray    # (m,) bool: upper bound is finite (branchable)
+    lo_finite: np.ndarray    # (m,) bool: lower bound is finite (branchable)
     rho_soft: float
     scaling: np.ndarray  # (m,) row norms used for normalization
 
@@ -108,6 +110,7 @@ def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True) -> L
         H=mpqp.H, f=mpqp.f, f_theta=mpqp.f_theta,
         is_eq=is_eq, is_immutable=is_immutable,
         is_soft=is_soft, is_binary=is_binary,
+        up_finite=mpqp.bu < 1e20, lo_finite=mpqp.bl > -1e20,
         rho_soft=1.0 / soft_weight,
         scaling=scale,
     )

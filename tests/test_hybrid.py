@@ -1,0 +1,144 @@
+"""Hybrid (binary-control) MPC via branch-and-bound, robust MPC, and
+game-theoretic MPC (reference test/runtests.jl:820-880, 1337-1359)."""
+
+import numpy as np
+
+import linearmpc_tpu as lmpc
+from linearmpc_tpu.mpc import MPC
+
+
+def test_hybrid_satellite():
+    """(reference test/runtests.jl:820-834)"""
+    mpc, _ = lmpc.mpc_examples("satellite", 20)
+    mpc.settings.reference_preview = True
+    N = 20
+    rs = np.vstack([
+        np.hstack([np.zeros((1, 5)), 0.5 * np.ones((1, N - 5))]),
+        np.zeros((2, N)),
+    ])
+
+    def dynamics(x, u, d):
+        return mpc.model.F @ x + mpc.model.G @ np.atleast_1d(u)
+
+    sim = lmpc.simulate_kw(mpc, x0=np.zeros(3), N=N, r=rs, dynamics=dynamics)
+    assert mpc.mpQP.has_binaries
+    assert abs(sim.ys[0, -1] - 0.5) < 1e-3
+    for bin_id in mpc.binary_controls:
+        at_min = np.isclose(sim.us[bin_id, :], mpc.umin[bin_id], atol=1e-5)
+        at_max = np.isclose(sim.us[bin_id, :], mpc.umax[bin_id], atol=1e-5)
+        assert np.all(at_min | at_max)
+
+
+def test_hybrid_invpend_contact():
+    """invpend_contact condenses with binaries (the reference only condenses
+    this example in its tests, test/runtests.jl:40-41; its 7th input keeps a
+    padded infinite lower bound) and the B&B solve puts every finite-bounded
+    binary on one of its bounds."""
+    mpc, _ = lmpc.mpc_examples("invpend_contact", 6, 6, params={"nwalls": 1})
+    mpc.setup()
+    assert mpc.mpQP.has_binaries
+    u = mpc.compute_control([0.0, 0.05, 0.0, 0.0])
+    assert len(u) == 7
+    for bin_id in mpc.binary_controls:
+        if mpc.umin[bin_id] < -1e20 or mpc.umax[bin_id] > 1e20:
+            continue  # padded infinite bound: not branchable
+        assert (
+            abs(u[bin_id] - mpc.umin[bin_id]) < 1e-5
+            or abs(u[bin_id] - mpc.umax[bin_id]) < 1e-5
+        )
+
+
+def test_bnb_matches_enumeration():
+    """Cross-check B&B against brute-force enumeration on a small MIQP."""
+    mpc = MPC.from_discrete([[1.0, 0.1], [0, 1.0]], [[0.0], [1.0]], Np=3, Nc=3)
+    mpc.set_objective(Q=[1.0, 1.0], R=[0.1], Rr=[0.0])
+    mpc.set_bounds(umin=[0.0], umax=[1.0])
+    mpc.set_binary_controls([0])
+    mpc.settings.reference_tracking = False
+    mpc.setup()
+
+    x0 = np.array([0.3, -0.4])
+    theta = mpc.form_parameter(x0)
+    U_bnb, fval_bnb, flag, _ = mpc.solve(theta)
+    assert flag == 1
+
+    # brute force over all 2^3 binary assignments
+    qp = mpc.mpQP
+    best = (np.inf, None)
+    H, f_t = qp.H, qp.f + qp.f_theta @ theta
+    for bits in range(8):
+        fixed = [(bits >> k) & 1 for k in range(3)]
+        U = np.array(fixed, dtype=float)  # u in {0,1}^3
+        val = 0.5 * U @ H @ U + f_t @ U
+        if val < best[0]:
+            best = (val, U)
+    assert np.allclose(U_bnb, best[1], atol=1e-6)
+    assert abs(fval_bnb - best[0]) < 1e-8
+
+
+def test_robust_mpc():
+    """(reference test/runtests.jl:860-880) tightening keeps the state above
+    a bound the nominal controller violates."""
+    F = np.array([[1.0, 1], [0, 1]])
+    G = np.array([[1.0], [0.5]])
+    mpc = MPC.from_discrete(F, G, Np=10)
+    mpc.set_prestabilizing_feedback()
+    mpc.set_bounds(umin=[-1.0], umax=[1.0])
+    mpc.set_output_bounds(ymin=-0.15 * np.ones(2), ymax=np.ones(2), soft=False)
+    qp_nominal = lmpc.mpc2mpqp(mpc)
+
+    def dynamics(x, u, d):
+        return mpc.model.F @ x + mpc.model.G @ np.atleast_1d(u)
+
+    x0 = np.array([0.9, 0.5])
+    sim_nominal = lmpc.simulate_kw(mpc, x0=x0, N=100, r=[0.0, 0], dynamics=dynamics)
+    assert sim_nominal.xs[1, :].min() < -0.1
+
+    mpc.set_disturbance([-1e-2, -1e-1], [1e-2, 1e-1])
+    qp_tight = lmpc.mpc2mpqp(mpc)
+    assert qp_tight.bu.sum() < qp_nominal.bu.sum()
+    assert qp_tight.bl.sum() > qp_nominal.bl.sum()
+    sim_tight = lmpc.simulate_kw(mpc, x0=x0, N=100, r=[0.0, 0], dynamics=dynamics)
+    assert sim_tight.xs[1, :].min() > -0.1
+
+
+def test_game_theoretic_mpc():
+    """(reference test/runtests.jl:1337-1359) two-player Nash MPC yields a
+    non-symmetric H solved in AVI mode; closed loop reaches the reference."""
+    F = np.array([[1.0, 0.1], [0, 1]])
+    G = np.array([[0.0, 0], [1, 1]])
+    mpc = MPC.from_discrete(F, G, C=np.eye(2), Np=10)
+    mpc.set_objective(uids=[0], Q=[1, 0], Rr=1e3 * np.eye(1))
+    mpc.set_objective(uids=[1], Q=[0, 1], Rr=1e3 * np.eye(1))
+    mpc.set_bounds(umin=-np.ones(2), umax=np.ones(2))
+    mpc.move_block([1, 1, 8])
+    mpc.setup()
+    assert not np.allclose(mpc.mpQP.H, mpc.mpQP.H.T)
+
+    sim = lmpc.simulate_kw(mpc, x0=10 * np.ones(2), r=[10, 0], N=500)
+    assert abs(sim.ys[0, -1] - 10.0) < 1e-4
+    assert abs(sim.ys[1, -1] - 0.0) < 1e-4
+
+
+def test_evaluate_cost():
+    """(reference test/runtests.jl:809-818)"""
+    mpc, _ = lmpc.mpc_examples("invpend")
+    rs = np.hstack([np.zeros((2, 20)), np.tile([[10.0], [0]], (1, 80))])
+
+    def dynamics(x, u, d):
+        return mpc.model.F @ x + mpc.model.G @ np.atleast_1d(u)
+
+    sim = lmpc.simulate_kw(mpc, x0=np.zeros(4), N=100, r=rs, dynamics=dynamics)
+    assert mpc.evaluate_cost(sim.xs, sim.us, sim.rs) > 0
+
+
+def test_control_trajectory():
+    """(reference test/runtests.jl:882-892)"""
+    A = np.array([[1.0, 1], [0, 1]])
+    B = np.array([[0.0], [1]])
+    mpc = MPC.from_discrete(A, B, C=np.eye(2), Np=5, Nc=5)
+    x = np.array([0.5, 1.0])
+    u = mpc.compute_control(x)
+    utraj = mpc.compute_control_trajectory(x)
+    assert len(utraj) == 5
+    assert np.allclose(u, utraj[:1])
