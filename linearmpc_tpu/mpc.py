@@ -90,6 +90,8 @@ class MPC:
             sign_tol=float(opts.get("dual_tol", 1e-12)),
             has_binaries=self.mpQP.has_binaries,
             bnb_node_limit=int(opts.get("bnb_node_limit", 4096)),
+            symmetric=self.mpQP.is_symmetric,
+            polish=opts.get("polish", None),
         )
         self.mpqp_issetup = True
         return self

@@ -47,6 +47,7 @@ def solve_bnb_single(
     primal_tol: float = 1e-6,
     sign_tol: float = 1e-12,
     bin_tol: float = 1e-6,
+    use_cholesky: bool = True,
 ) -> Solution:
     """Solve one hybrid LDP instance. Wrap in ``jax.vmap`` for batches."""
     dtype = ldp.G.dtype
@@ -69,7 +70,7 @@ def solve_bnb_single(
         sol = solve_single(
             ldp, theta,
             max_iter=max_iter, primal_tol=primal_tol, sign_tol=sign_tol,
-            forced_mask=fixed, forced_side=side,
+            forced_mask=fixed, forced_side=side, use_cholesky=use_cholesky,
         )
 
         feasible = sol.status > 0

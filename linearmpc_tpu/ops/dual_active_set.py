@@ -95,6 +95,19 @@ def cold_state(m: int) -> tuple[jax.Array, jax.Array, jax.Array]:
     return jnp.zeros(m), jnp.zeros(m, dtype=bool), jnp.ones(m, dtype=bool)
 
 
+def _masked_solve(Gmask, rhs, use_cholesky: bool):
+    """Solve the masked working-set system. Cholesky for symmetric problems
+    (the masked matrix is SPD: active principal block + identity elsewhere);
+    LU for the non-symmetric AVI (game MPC) case."""
+    if use_cholesky:
+        from jax.scipy.linalg import solve_triangular
+
+        L = jnp.linalg.cholesky(Gmask)
+        y = solve_triangular(L, rhs, lower=True)
+        return solve_triangular(L.T, y, lower=False)
+    return jnp.linalg.solve(Gmask, rhs)
+
+
 def solve_single(
     ldp: LDPArrays,
     theta: jax.Array,
@@ -107,12 +120,22 @@ def solve_single(
     sign_tol: float = 1e-12,
     forced_side: jax.Array | None = None,
     forced_mask: jax.Array | None = None,
+    use_cholesky: bool = True,
+    ldp_hi: "LDPArrays | None" = None,
 ) -> Solution:
     """Solve one LDP instance parameterized by ``theta``.
 
     ``forced_mask``/``forced_side`` clamp the given rows to equality at the
     chosen bound -- the mechanism branch-and-bound uses to fix binary
     constraints per node (reference: DAQP bnb, SURVEY.md N2).
+
+    ``ldp_hi``: optional high-precision (float64) copy of the solver arrays.
+    When given, the converged active set is re-solved directly in that
+    precision (one Cholesky + two triangular solves) so a float32 iteration
+    path still returns float64-accurate primal solutions -- the TPU-native
+    replacement for DAQP's all-double arithmetic. float64 Cholesky/triangular
+    ops are supported (emulated) on TPU; only LU is not.
+
     Wrap with ``jax.vmap`` over ``theta`` (and warm-start state) for batches.
     """
     dtype = ldp.G.dtype
@@ -120,9 +143,11 @@ def solve_single(
     theta = theta.astype(dtype)
 
     if m == 0:  # unconstrained: closed-form minimizer
-        U = ldp.u_off + ldp.Uth_off @ theta
-        f_t = ldp.f + ldp.f_theta @ theta
-        fval = 0.5 * U @ (ldp.H @ U) + f_t @ U
+        src = ldp if ldp_hi is None else ldp_hi
+        th = theta.astype(src.G.dtype)
+        U = src.u_off + src.Uth_off @ th
+        f_t = src.f + src.f_theta @ th
+        fval = 0.5 * U @ (src.H @ U) + f_t @ U
         z = jnp.zeros(0, dtype=dtype)
         zb = jnp.zeros(0, dtype=bool)
         return Solution(U, z, zb, zb, fval, jnp.int32(0), jnp.int32(1))
@@ -153,7 +178,7 @@ def solve_single(
         Gmask = ldp.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
         d_side = jnp.where(side, du_t, dl_t)
         rhs = -actf * d_side
-        lam_star = jnp.linalg.solve(Gmask, rhs)
+        lam_star = _masked_solve(Gmask, rhs, use_cholesky)
 
         # multipliers of removable active rows must satisfy the side's sign
         sign_viol = act & ~is_eq & jnp.where(side, lam_star < -sign_tol, lam_star > sign_tol)
@@ -201,11 +226,59 @@ def solve_single(
     init = DualState(lam, active, side, jnp.int32(0), jnp.asarray(False))
     final = jax.lax.while_loop(cond, body, init)
 
+    if ldp_hi is not None:
+        # high-precision polish: direct re-solve on the identified active set
+        hi = ldp_hi.G.dtype
+        theta_hi = theta.astype(hi)
+        du_hi = ldp_hi.du + ldp_hi.Dth @ theta_hi
+        dl_hi = ldp_hi.dl + ldp_hi.Dth @ theta_hi
+        if forced_mask is not None:
+            d_forced_hi = jnp.where(forced_side, du_hi, dl_hi)
+            du_hi = jnp.where(forced_mask, d_forced_hi, du_hi)
+            dl_hi = jnp.where(forced_mask, d_forced_hi, dl_hi)
+        actf = final.active.astype(hi)
+        Gmask = ldp_hi.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
+        d_side = jnp.where(final.side, du_hi, dl_hi)
+        lam = _masked_solve(Gmask, -actf * d_side, use_cholesky)
+        U = ldp_hi.u_off + ldp_hi.Uth_off @ theta_hi - ldp_hi.HinvET @ lam
+        f_t = ldp_hi.f + ldp_hi.f_theta @ theta_hi
+        fval = 0.5 * U @ (ldp_hi.H @ U) + f_t @ U
+        status = jnp.where(final.done, jnp.int32(1), jnp.int32(-1))
+        return Solution(U, lam, final.active, final.side, fval, final.iters, status)
+
     U = ldp.u_off + ldp.Uth_off @ theta - ldp.HinvET @ final.lam
     f_t = ldp.f + ldp.f_theta @ theta
     fval = 0.5 * U @ (ldp.H @ U) + f_t @ U
     status = jnp.where(final.done, jnp.int32(1), jnp.int32(-1))
     return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
+
+
+def polish_solution(
+    ldp_hi: LDPArrays,
+    theta: jax.Array,
+    active: jax.Array,
+    side: jax.Array,
+    *,
+    use_cholesky: bool = True,
+    iters=None,
+    status=None,
+) -> Solution:
+    """Direct high-precision re-solve of a known optimal active set
+    (used to polish branch-and-bound incumbents)."""
+    hi = ldp_hi.G.dtype
+    theta_hi = theta.astype(hi)
+    du_hi = ldp_hi.du + ldp_hi.Dth @ theta_hi
+    dl_hi = ldp_hi.dl + ldp_hi.Dth @ theta_hi
+    actf = active.astype(hi)
+    Gmask = ldp_hi.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
+    d_side = jnp.where(side, du_hi, dl_hi)
+    lam = _masked_solve(Gmask, -actf * d_side, use_cholesky)
+    U = ldp_hi.u_off + ldp_hi.Uth_off @ theta_hi - ldp_hi.HinvET @ lam
+    f_t = ldp_hi.f + ldp_hi.f_theta @ theta_hi
+    fval = 0.5 * U @ (ldp_hi.H @ U) + f_t @ U
+    iters = jnp.int32(0) if iters is None else iters
+    status = jnp.int32(1) if status is None else status
+    return Solution(U, lam, active, side, fval, iters, status)
 
 
 def solve_batch(

@@ -34,6 +34,8 @@ class SolverEngine:
         sign_tol: float = 1e-12,
         has_binaries: bool = False,
         bnb_node_limit: int = 4096,
+        symmetric: bool = True,
+        polish: bool | None = None,
     ):
         self.ldp = ldp
         self.dtype = default_dtype() if dtype is None else dtype
@@ -43,27 +45,60 @@ class SolverEngine:
         self.sign_tol = float(sign_tol)
         self.has_binaries = bool(has_binaries)
         self.bnb_node_limit = int(bnb_node_limit)
+        self.symmetric = bool(symmetric)
+        # float32 iterations + float64 active-set polish by default on
+        # reduced-precision paths (TPU); float64 paths need no polish
+        self.polish = (self.dtype != jnp.float64) if polish is None else bool(polish)
+        self.arrays_hi = to_device_arrays(ldp, jnp.float64) if self.polish else None
 
-        kw = dict(max_iter=self.iter_limit, primal_tol=self.primal_tol, sign_tol=self.sign_tol)
-        self._single = jax.jit(partial(solve_single, **kw))
-        self._batched = jax.jit(partial(solve_batch, **kw))
+        kw = dict(
+            max_iter=self.iter_limit, primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+            use_cholesky=self.symmetric,
+        )
+        self._solve_kw = kw
+
+        def _single(arrays, hi, theta):
+            return solve_single(arrays, theta, ldp_hi=hi, **kw)
+
+        def _batched(arrays, hi, thetas, lam0=None, act0=None, side0=None):
+            if lam0 is None:
+                return jax.vmap(lambda th: solve_single(arrays, th, ldp_hi=hi, **kw))(thetas)
+            return jax.vmap(
+                lambda th, l0, a0, s0: solve_single(arrays, th, l0, a0, s0, ldp_hi=hi, **kw)
+            )(thetas, lam0, act0, side0)
+
+        self._single = jax.jit(_single)
+        self._batched = jax.jit(_batched)
 
         if self.has_binaries:
             from .bnb import solve_bnb_single
+            from .dual_active_set import polish_solution
 
             nb = int(np.sum(ldp.is_binary))
             stack_cap = max(2 * nb + 2, 4)
             bnb_kw = dict(stack_cap=stack_cap, node_limit=self.bnb_node_limit, **kw)
-            self._bnb = jax.jit(partial(solve_bnb_single, **bnb_kw))
-            self._bnb_batched = jax.jit(jax.vmap(partial(solve_bnb_single, self.arrays, **bnb_kw)))
+
+            def _bnb(arrays, hi, theta):
+                sol = solve_bnb_single(arrays, theta, **bnb_kw)
+                if hi is None:
+                    return sol
+                return polish_solution(
+                    hi, theta, sol.active, sol.side,
+                    use_cholesky=self.symmetric, iters=sol.iters, status=sol.status,
+                )
+
+            self._bnb = jax.jit(_bnb)
+            self._bnb_batched = jax.jit(
+                lambda arrays, hi, thetas: jax.vmap(lambda th: _bnb(arrays, hi, th))(thetas)
+            )
 
     # -- host-facing single solve (reference solve(), src/utils.jl:268-283)
     def solve(self, theta) -> tuple[np.ndarray, float, int, dict]:
         theta = jnp.asarray(np.asarray(theta, dtype=np.float64), dtype=self.dtype)
         if self.has_binaries:
-            sol: Solution = self._bnb(self.arrays, theta)
+            sol: Solution = self._bnb(self.arrays, self.arrays_hi, theta)
         else:
-            sol = self._single(self.arrays, theta)
+            sol = self._single(self.arrays, self.arrays_hi, theta)
         status = int(sol.status)
         info = {
             "iterations": int(sol.iters),
@@ -77,8 +112,8 @@ class SolverEngine:
     def solve_batch(self, thetas, warm=None) -> Solution:
         thetas = jnp.asarray(thetas, dtype=self.dtype)
         if self.has_binaries:
-            return self._bnb_batched(thetas)
+            return self._bnb_batched(self.arrays, self.arrays_hi, thetas)
         if warm is None:
-            return self._batched(self.arrays, thetas)
+            return self._batched(self.arrays, self.arrays_hi, thetas)
         lam0, act0, side0 = warm
-        return self._batched(self.arrays, thetas, lam0, act0, side0)
+        return self._batched(self.arrays, self.arrays_hi, thetas, lam0, act0, side0)
