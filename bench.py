@@ -1,0 +1,118 @@
+"""Benchmark: condensed-QP solves/s/chip on the pendulum mpQP (BASELINE.md).
+
+Runs on the default accelerator (the real TPU under axon; CPU otherwise).
+Measures:
+  * batched cold-start solve throughput (the headline metric, target 1e5/s),
+  * max |u - u_ref| against the independent float64 NumPy dual active-set
+    reference over a sampled parameter box (target <= 1e-6),
+  * p99 per-batch latency and single-instance latency vs the Ts=0.01 budget.
+
+Prints ONE JSON line with the headline metric; detail goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import linearmpc_tpu as lmpc
+    from linearmpc_tpu.ops.reference_solver import solve_ldp_numpy
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    on_tpu = dev.platform != "cpu"
+
+    mpc, _ = lmpc.mpc_examples("invpend")  # Np=50, Nc=5 (README benchmark config)
+    mpc.setup(dtype=jnp.float32 if on_tpu else jnp.float64)
+    engine = mpc.engine
+    log(f"mpQP: n={engine.ldp.n} m={engine.ldp.m} nth={engine.ldp.n_theta} dtype={engine.dtype.__name__} polish={engine.polish}")
+
+    rng = np.random.default_rng(1234)
+    B = 8192
+    K = 16
+
+    def sample(B):
+        return np.hstack([
+            rng.uniform(-20, 20, (B, 4)),   # x within the example ParameterRange
+            rng.uniform(-20, 20, (B, 2)),   # r
+            rng.uniform(-2, 2, (B, 1)),     # uprev
+        ])
+
+    batches = [jnp.asarray(sample(B), engine.dtype) for _ in range(K)]
+    anchor = jnp.asarray(
+        np.tile(mpc.form_parameter([5.0, 5.0, 0.0, 0.0], uprev=[0.0]), (B, 1)), engine.dtype
+    )
+
+    # warm-up / compile
+    sol = engine.solve_batch(batches[0])
+    sol.U.block_until_ready()
+    log(f"iters: mean={np.mean(np.asarray(sol.iters)):.2f} max={np.max(np.asarray(sol.iters))}, "
+        f"converged={np.mean(np.asarray(sol.status) == 1):.4f}")
+
+    # throughput (cold starts)
+    times = []
+    for b in batches:
+        t0 = time.perf_counter()
+        engine.solve_batch(b).U.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    total = sum(times)
+    solves_per_s = B * K / total
+    p99 = float(np.percentile(times, 99))
+    log(f"throughput: {solves_per_s:,.0f} solves/s/chip  (batch {B}, {K} reps, "
+        f"mean {np.mean(times)*1e3:.2f} ms, p99 {p99*1e3:.2f} ms per batch)")
+
+    # anchor batch (all lanes the golden instance)
+    t0 = time.perf_counter()
+    engine.solve_batch(anchor).U.block_until_ready()
+    t_anchor = time.perf_counter() - t0
+    log(f"anchor batch: {B/t_anchor:,.0f} solves/s")
+
+    # accuracy vs independent float64 reference
+    n_check = 256
+    check = np.asarray(batches[0][:n_check], dtype=np.float64)
+    sol_c = engine.solve_batch(batches[0])
+    U_dev = np.asarray(sol_c.U[:n_check], dtype=np.float64)
+    err = 0.0
+    for i in range(n_check):
+        U_ref, *_rest, status = solve_ldp_numpy(engine.ldp, check[i])
+        if status == 1:
+            err = max(err, float(np.max(np.abs(U_dev[i] - U_ref))))
+    log(f"max |U - U_ref| over {n_check} sampled instances (full horizon): {err:.3e}")
+
+    # single-instance latency vs the Ts = 0.01 s real-time budget
+    th1 = batches[0][:1]
+    engine.solve_batch(th1).U.block_until_ready()
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        engine.solve_batch(th1).U.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    lat_p99 = float(np.percentile(lat, 99))
+    log(f"single-solve latency: median {np.median(lat)*1e3:.3f} ms, p99 {lat_p99*1e3:.3f} ms "
+        f"(budget 10 ms) within_budget={lat_p99 < 0.01}")
+
+    print(json.dumps({
+        "metric": "pendulum_qp_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1e5, 4),
+        "max_control_error": err,
+        "p99_batch_latency_s": p99,
+        "single_solve_p99_s": lat_p99,
+    }))
+
+
+if __name__ == "__main__":
+    main()

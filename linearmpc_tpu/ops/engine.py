@@ -39,8 +39,22 @@ class SolverEngine:
     ):
         self.ldp = ldp
         self.dtype = default_dtype() if dtype is None else dtype
-        self.arrays: LDPArrays = to_device_arrays(ldp, self.dtype)
+        # working-set inverse cache: collapses each iteration's KKT solve to
+        # a gather + matvec for small m (see ops/ldp.py)
+        from .ldp import SUBSET_CACHE_MAX_M, precompute_subset_inverses
+
+        subset_inv = None
+        if ldp.m <= SUBSET_CACHE_MAX_M and ldp.m > 0:
+            subset_inv = precompute_subset_inverses(ldp)
+        self._subset_inv = subset_inv
+        self.arrays: LDPArrays = to_device_arrays(ldp, self.dtype, subset_inv)
         self.iter_limit = int(iter_limit)
+        # tolerances must sit above the iteration dtype's noise floor or
+        # marginal multipliers flip sign forever (add/remove cycling); the
+        # f64 polish restores full accuracy afterwards
+        if self.dtype == jnp.float32:
+            primal_tol = max(primal_tol, 2e-5)
+            sign_tol = max(sign_tol, 1e-6)
         self.primal_tol = float(primal_tol)
         self.sign_tol = float(sign_tol)
         self.has_binaries = bool(has_binaries)
@@ -49,7 +63,7 @@ class SolverEngine:
         # float32 iterations + float64 active-set polish by default on
         # reduced-precision paths (TPU); float64 paths need no polish
         self.polish = (self.dtype != jnp.float64) if polish is None else bool(polish)
-        self.arrays_hi = to_device_arrays(ldp, jnp.float64) if self.polish else None
+        self.arrays_hi = to_device_arrays(ldp, jnp.float64, subset_inv) if self.polish else None
 
         kw = dict(
             max_iter=self.iter_limit, primal_tol=self.primal_tol, sign_tol=self.sign_tol,
@@ -94,7 +108,8 @@ class SolverEngine:
 
     # -- host-facing single solve (reference solve(), src/utils.jl:268-283)
     def solve(self, theta) -> tuple[np.ndarray, float, int, dict]:
-        theta = jnp.asarray(np.asarray(theta, dtype=np.float64), dtype=self.dtype)
+        in_dtype = jnp.float64 if self.polish else self.dtype
+        theta = jnp.asarray(np.asarray(theta, dtype=np.float64), dtype=in_dtype)
         if self.has_binaries:
             sol: Solution = self._bnb(self.arrays, self.arrays_hi, theta)
         else:
@@ -110,7 +125,10 @@ class SolverEngine:
 
     # -- device-facing batched solve
     def solve_batch(self, thetas, warm=None) -> Solution:
-        thetas = jnp.asarray(thetas, dtype=self.dtype)
+        # keep theta at full precision when polishing (downcast happens
+        # inside the bulk phase only)
+        in_dtype = jnp.float64 if self.polish else self.dtype
+        thetas = jnp.asarray(thetas, dtype=in_dtype)
         if self.has_binaries:
             return self._bnb_batched(self.arrays, self.arrays_hi, thetas)
         if warm is None:

@@ -114,3 +114,33 @@ def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True) -> L
         rho_soft=1.0 / soft_weight,
         scaling=scale,
     )
+
+
+# Maximum m for which the working-set inverse cache is enumerated (2^m
+# inverses of m x m matrices; 12 -> 4096 * 144 floats ~ 4.7 MB in f64).
+SUBSET_CACHE_MAX_M = 12
+
+
+def precompute_subset_inverses(ldp: LDPData) -> np.ndarray:
+    """Inverse of every masked working-set system, indexed by the active-set
+    bitmask: out[mask] = (act*G_solve*act' + diag(~act))^-1.
+
+    The masked inverse has the same masked structure, so each dual
+    active-set iteration on device collapses to one gather + one matvec --
+    the TPU-lockstep replacement for DAQP's recursive LDL' up/downdates
+    (speed-of-light path for small m; larger problems use the batched
+    masked Cholesky path)."""
+    m = ldp.m
+    if m > SUBSET_CACHE_MAX_M:
+        raise ValueError(f"subset cache limited to m <= {SUBSET_CACHE_MAX_M}")
+    G_solve = ldp.G + np.diag(ldp.rho_soft * ldp.is_soft.astype(np.float64))
+    out = np.empty((1 << m, m, m))
+    out[0] = np.eye(m)
+    for mask in range(1, 1 << m):
+        act = np.array([(mask >> i) & 1 for i in range(m)], dtype=bool)
+        M = np.where(act[:, None] & act[None, :], G_solve, 0.0) + np.diag(~act)
+        try:
+            out[mask] = np.linalg.inv(M)
+        except np.linalg.LinAlgError:
+            out[mask] = np.linalg.pinv(M)  # degenerate set: least-norm iterate
+    return out

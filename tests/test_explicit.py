@@ -1,0 +1,104 @@
+"""Explicit MPC: golden value, implicit/explicit agreement, batched
+evaluation (reference test/runtests.jl:178-197, 300-327, 379-382)."""
+
+import numpy as np
+import pytest
+
+import linearmpc_tpu as lmpc
+from linearmpc_tpu.explicit import build_explicit, make_singlesided
+from linearmpc_tpu.mpc import MPC
+
+GOLDEN_U = 1.7612519326
+
+
+def test_explicit_invpend_golden():
+    mpc, rng = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng)
+    assert empc is not None and len(empc.regions) > 1
+    u = empc.compute_control([5.0, 5.0, 0.0, 0.0], uprev=[0.0])
+    assert np.linalg.norm(u - GOLDEN_U) < 1e-6
+
+
+def test_explicit_matches_implicit_sampled():
+    mpc, rng_box = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng_box)
+    rng = np.random.default_rng(5)
+    n_miss = 0
+    for _ in range(100):
+        x = rng.uniform(-15, 15, 4)
+        r = rng.uniform(-15, 15, 2)
+        up = rng.uniform(-2, 2, 1)
+        u_imp = mpc.compute_control(x, r=r, uprev=up)
+        theta = mpc.form_parameter(x, r=r, uprev=up)
+        u_exp = empc.evaluate(theta)
+        if u_exp is None:
+            n_miss += 1
+            continue
+        assert np.max(np.abs(u_imp - u_exp)) < 1e-6
+    assert n_miss <= 5  # enumeration must cover nearly all of the box
+
+
+def test_explicit_batched_evaluation():
+    mpc, rng_box = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng_box)
+    rng = np.random.default_rng(6)
+    B = 64
+    thetas = np.hstack([
+        rng.uniform(-15, 15, (B, 4)),
+        rng.uniform(-15, 15, (B, 2)),
+        rng.uniform(-2, 2, (B, 1)),
+    ])
+    us, viol = empc.evaluate_batch(thetas)
+    us = np.asarray(us)
+    for i in range(B):
+        u_imp = mpc.compute_control(thetas[i, :4], r=thetas[i, 4:6], uprev=thetas[i, 6:])
+        if float(viol[i]) < 1e-8:
+            assert np.max(np.abs(us[i] - u_imp)) < 1e-6
+
+
+def test_explicit_simulation_matches_implicit():
+    """(reference test/runtests.jl:300-319)"""
+    A = np.array([[1.0, 1], [0, 1]])
+    B = np.array([[0.0], [1]])
+    mpc = MPC.from_discrete(A, B, C=np.eye(2), Np=5, Nc=3)
+    mpc.set_bounds(umin=[-2.0], umax=[2.0], ymin=[-1.0, -0.5], ymax=[1.0, 0.5])
+    mpc.set_objective(Q=[1.0, 1.0], R=[0.1])
+    mpc.setup()
+    empc = build_explicit(mpc, prange=mpc.parameter_range())
+
+    N = 20
+    r_traj = np.zeros((2, N))
+    r_traj[0, 10:] = 1.0
+    sim_imp = lmpc.simulate_kw(mpc, x0=[1.0, 0.0], N=N, r=r_traj)
+    sim_exp = lmpc.simulate_kw(empc, x0=[1.0, 0.0], N=N, r=r_traj)
+    assert np.linalg.norm(sim_imp.ys - sim_exp.ys) < 1e-6
+
+
+def test_explicit_prestab_consistency():
+    mpc, rng_box = lmpc.mpc_examples("invpend")
+    mpc.set_prestabilizing_feedback()
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng_box)
+    u_imp = mpc.compute_control([5.0, 5.0, 0.0, 0.0], uprev=[0.0])
+    u_exp = empc.compute_control([5.0, 5.0, 0.0, 0.0], uprev=[0.0])
+    # NOTE: with Nc < Np the held decision variable is v = u + Kx, so the
+    # prestabilized problem differs from the nominal one by design (the
+    # reference's predictor holds v too, src/mpc2mpqp.jl:38-44); only
+    # implicit/explicit consistency is asserted here.
+    assert np.max(np.abs(u_imp - u_exp)) < 1e-6
+
+
+def test_make_singlesided_shapes():
+    """(reference test/runtests.jl:1548-1570)"""
+    mpc, _ = lmpc.mpc_examples("dcmotor")
+    qp = lmpc.mpc2mpqp(mpc)
+    ss = make_singlesided(qp, single_soft=False)
+    nsoft = int(np.sum((qp.senses & lmpc.types.SOFT) != 0)) if hasattr(lmpc, "types") else None
+    assert ss.H.shape[0] == ss.H.shape[1]
+    assert ss.A.shape[1] == ss.H.shape[0]
+    assert len(ss.b) == ss.A.shape[0] == ss.W.shape[0]
+    ss1 = make_singlesided(qp, single_soft=True)
+    assert ss1.H.shape[0] == qp.H.shape[0] + 1  # one shared slack

@@ -1,0 +1,104 @@
+"""Batched lax.scan rollout vs the reference-parity host loop, the NumPy
+reference solver, and multi-chip sharded solving on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import linearmpc_tpu as lmpc
+from linearmpc_tpu.mpc import MPC
+from linearmpc_tpu.ops.reference_solver import solve_ldp_numpy
+from linearmpc_tpu.rollout import build_rollout
+
+
+def test_numpy_reference_matches_device_solver():
+    """Differential test: independent sequential solver vs batched kernel."""
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        x = rng.uniform(-10, 10, 4)
+        r = rng.uniform(-5, 5, 2)
+        theta = mpc.form_parameter(x, r=r, uprev=[0.0])
+        U_dev, fval, flag, info = mpc.solve(theta)
+        U_ref, lam_ref, work, it, status = solve_ldp_numpy(mpc.engine.ldp, theta)
+        assert status == 1 and flag == 1
+        assert np.max(np.abs(U_dev - U_ref)) < 1e-9
+
+
+def test_rollout_matches_host_loop():
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    rollout = build_rollout(mpc)
+    x0 = np.array([0.0, 0.0, 0.15, 0.0])
+    N = 50
+    res = rollout(x0[None, :], np.zeros((1, 2)), None, N=N)
+
+    mpc2, _ = lmpc.mpc_examples("invpend")
+    def dynamics(x, u, d):
+        return mpc2.model.F @ x + mpc2.model.G @ np.atleast_1d(u)
+    sim = lmpc.simulate_kw(mpc2, x0=x0, N=N, r=[0.0, 0.0], dynamics=dynamics)
+
+    us_dev = np.asarray(res.us)[0].T
+    assert np.max(np.abs(us_dev - sim.us)) < 1e-8
+    assert np.max(np.abs(np.asarray(res.xs)[0].T - sim.xs)) < 1e-6
+
+
+def test_rollout_with_observer_matches_host_loop():
+    F, G = np.array([[1.0, 0.1], [0, 1]]), np.array([[0.005], [0.1]])
+    C = np.array([[1.0, 0]])
+
+    def build():
+        mpc = MPC.from_discrete(F, G, C=C, Ts=0.1, Np=15)
+        mpc.set_objective(Q=[1.0], R=[0.0], Rr=[0.1])
+        mpc.set_bounds(umin=[-1.0], umax=[1.0])
+        mpc.set_state_observer(Q=[1.0, 1.0], R=[0.1])
+        return mpc
+
+    mpc = build()
+    mpc.setup()
+    rollout = build_rollout(mpc)
+    x0 = np.array([1.0, 0.0])
+    res = rollout(x0[None, :], np.array([[0.5]]), None, N=40)
+
+    sim = lmpc.simulate_kw(build(), x0=x0, N=40, r=[0.5])
+    assert np.max(np.abs(np.asarray(res.us)[0].T - sim.us)) < 1e-8
+
+
+def test_rollout_batch_lanes_independent():
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    rollout = build_rollout(mpc)
+    rng = np.random.default_rng(3)
+    x0s = rng.uniform(-1, 1, (8, 4))
+    rs = rng.uniform(-1, 1, (8, 2))
+    res = rollout(x0s, rs, None, N=20)
+    # lane 3 alone must reproduce lane 3 of the batch
+    res_single = rollout(x0s[3:4], rs[3:4], None, N=20)
+    assert np.allclose(np.asarray(res.us)[3], np.asarray(res_single.us)[0], atol=1e-10)
+    assert np.all(np.asarray(res.status) == 1)
+
+
+def test_sharded_batch_solver():
+    """dp x mp sharded solve on the 8-device virtual CPU mesh."""
+    import jax
+    from linearmpc_tpu.parallel import make_mesh, make_sharded_batch_solver
+
+    assert len(jax.devices()) == 8
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    mesh = make_mesh(dp=4, mp=2)
+    solve = make_sharded_batch_solver(mpc.engine, mesh)
+
+    rng = np.random.default_rng(1)
+    B = 64
+    thetas = np.hstack([
+        rng.uniform(-10, 10, (B, 4)),
+        rng.uniform(-5, 5, (B, 2)),
+        np.zeros((B, 1)),
+    ])
+    sol = solve(thetas)
+    U = np.asarray(sol.U)
+    assert np.all(np.asarray(sol.status) == 1)
+    # parity vs unsharded engine
+    sol_ref = mpc.engine.solve_batch(thetas)
+    assert np.max(np.abs(U - np.asarray(sol_ref.U))) < 1e-10
