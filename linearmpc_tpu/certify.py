@@ -1,0 +1,198 @@
+"""Iteration-complexity certification for the dual active-set solver.
+
+The reference delegates to the external ASCertain package
+(src/certify.jl:18-29): a parametric-programming analysis that bounds the
+worst-case number of working-set changes DAQP needs over a parameter box.
+
+Here the certification explores the solver's reachable state graph
+symbolically over the (single-sided) LDP. A state is (working set AS,
+iteration count); over a polyhedral parameter region the candidate
+multiplier lambda*(theta) and the constraint slacks are affine, so the
+branch taken is decided by sign conditions that split the region:
+
+  * no multiplier sign-violation and no primal violation -> terminate;
+  * primal violation -> the solver adds the *most* violated row j; the
+    argmax over affine violations splits the region into disjoint cells
+    (v_j >= v_k for all k), one child per winning j -> (AS + {j}, k+1);
+  * multiplier sign-violation -> the blocking index is selected by a
+    min-ratio test that is not affine in theta, so removals branch
+    conservatively over every sign-violating i -> (AS - {i}, k+1).
+
+Addition branches follow the solver's deterministic rule exactly; removal
+branches over-approximate the reachable executions, so the resulting bound
+is a sound (possibly conservative) upper bound on the solver's iteration
+count over the box.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .explicit import _chebyshev_radius, make_singlesided
+from .condense import mpc2mpqp
+from .types import ACTIVE, IMMUTABLE
+
+
+@dataclass
+class CertRegion:
+    Ath: np.ndarray
+    bth: np.ndarray
+    active_set: tuple
+    iterations: int
+    center: np.ndarray
+
+
+@dataclass
+class CertificationResult:
+    mpc: object
+    max_iterations: int
+    partition: list
+    exhausted: bool  # True if exploration hit the iteration cap (no certificate)
+
+
+def certify(mpc, *, prange=None, AS0=(), iter_limit: int = 60,
+            max_regions: int = 100000, region_tol: float = 1e-7,
+            single_soft: bool = True) -> CertificationResult:
+    """Worst-case iteration certification over ``prange``
+    (reference src/certify.jl:18-29)."""
+    import warnings
+
+    if not mpc.mpqp_issetup:
+        mpc.setup()
+    qp = make_singlesided(mpc2mpqp(mpc), single_soft=single_soft,
+                          soft_weight=mpc.settings.soft_weight)
+    if prange is None:
+        warnings.warn("No parameter range defined. Using default limits [-100, 100].")
+        prange = mpc.parameter_range()
+    lb, ub = prange.lower(), prange.upper()
+    nth = qp.W.shape[1]
+    m, n = qp.A.shape
+
+    Hinv = np.linalg.inv((qp.H + qp.H.T) / 2)
+    AHinv = qp.A @ Hinv
+    G = AHinv @ qp.A.T
+    U0F = -Hinv @ qp.f_theta
+    U0g = -Hinv @ qp.f
+    # slack_j(theta) = b_j + W_j theta - A_j U(theta); U depends on AS
+    ignore = (qp.senses & IMMUTABLE) != 0
+    always = (qp.senses & ACTIVE) != 0
+
+    partition: list[CertRegion] = []
+    max_iter_seen = 0
+    exhausted = False
+
+    # work item: (AS tuple, iteration count, region rows, interior hint)
+    stack = [(tuple(sorted(set(AS0) | set(np.where(always)[0]))), 0,
+              np.zeros((0, nth)), np.zeros(0), None)]
+
+    def lam_affine(AS):
+        AS = np.asarray(AS, dtype=int)
+        if len(AS) == 0:
+            return np.zeros((0, nth)), np.zeros(0), True
+        M = G[np.ix_(AS, AS)]
+        if np.linalg.cond(M) > 1e11:
+            return None, None, False
+        Minv = np.linalg.inv(M)
+        Flam = Minv @ (qp.A[AS] @ U0F - qp.W[AS])
+        glam = Minv @ (qp.A[AS] @ U0g - qp.b[AS])
+        return Flam, glam, True
+
+    rng_samples = np.random.default_rng(0)
+    probe = lb + (ub - lb) * rng_samples.random((64, nth))
+
+    def nonempty(Ath, bth, hint=None, need_center=False):
+        """Emptiness check with a sampling fast path: a strictly interior
+        probe point certifies nonemptiness without an LP."""
+        if len(bth) == 0:
+            return True, (lb + ub) / 2
+        if not need_center:
+            if hint is not None:
+                margin = float(np.max(Ath @ hint - bth))
+                if margin < -1e-9:
+                    return True, hint
+            viol = Ath @ probe.T - bth[:, None]
+            good = np.where(np.max(viol, axis=0) < -1e-9)[0]
+            if len(good):
+                return True, probe[good[0]]
+        r, c = _chebyshev_radius(Ath, bth, lb, ub)
+        return (r > region_tol), c
+
+    while stack:
+        if len(partition) >= max_regions:
+            exhausted = True
+            break
+        AS, k, Ath, bth, hint = stack.pop()
+        if k >= iter_limit:
+            exhausted = True
+            max_iter_seen = max(max_iter_seen, k)
+            continue
+        Flam, glam, ok = lam_affine(AS)
+        if not ok:
+            continue  # degenerate working set: unreachable in exact arithmetic
+        ASl = list(AS)
+
+        # feedback for this AS: U(theta) = F th + g
+        if len(ASl):
+            F = U0F - Hinv @ qp.A[ASl].T @ Flam
+            g = U0g - Hinv @ qp.A[ASl].T @ glam
+        else:
+            F, g = U0F, U0g
+
+        # 1) removal branches: lambda_i < 0 for some removable i
+        for pos, i in enumerate(ASl):
+            if always[i]:
+                continue
+            rows = np.vstack([Ath, Flam[pos][None, :]])
+            rhs = np.concatenate([bth, [-glam[pos]]])  # Flam th + glam < 0
+            ne, pt = nonempty(rows, rhs, hint)
+            if ne:
+                stack.append((tuple(sorted(set(ASl) - {i})), k + 1, rows, rhs, pt))
+
+        # dual-feasible subregion: all removable lambda_i >= 0
+        rows_df = [Ath]
+        rhs_df = [bth]
+        for pos, i in enumerate(ASl):
+            if always[i]:
+                continue
+            rows_df.append(-Flam[pos][None, :])
+            rhs_df.append([glam[pos]])
+        Ath_df = np.vstack(rows_df)
+        bth_df = np.concatenate([np.atleast_1d(r) for r in rhs_df])
+        ne, center = nonempty(Ath_df, bth_df, hint)
+        if not ne:
+            continue
+
+        # slacks of inactive rows under this AS: s_j(theta) = Sf_j th + sg_j
+        inact = [j for j in range(m) if j not in AS and not ignore[j]]
+        Sf = qp.W[inact] - qp.A[inact] @ F
+        sg = qp.b[inact] - qp.A[inact] @ g
+
+        # 2) addition branches: the solver adds the most violated row ->
+        #    disjoint argmax cells {v_j > tol, v_j >= v_k for all k != j}
+        for jj, j in enumerate(inact):
+            if len(AS) >= n:
+                break
+            rows = [Ath_df, Sf[jj][None, :]]        # slack_j < 0
+            rhs = [bth_df, [-sg[jj]]]
+            for kk in range(len(inact)):            # v_j >= v_k: s_k >= s_j
+                if kk == jj:
+                    continue
+                rows.append((Sf[jj] - Sf[kk])[None, :])
+                rhs.append([sg[kk] - sg[jj]])
+            rows = np.vstack(rows)
+            rhs = np.concatenate([np.atleast_1d(r) for r in rhs])
+            ne, pt = nonempty(rows, rhs, center)
+            if ne:
+                stack.append((tuple(sorted(set(ASl) | {j})), k + 1, rows, rhs, pt))
+
+        # 3) termination subregion: all slacks >= 0
+        rows_t = np.vstack([Ath_df, -Sf]) if len(inact) else Ath_df
+        rhs_t = np.concatenate([bth_df, sg]) if len(inact) else bth_df
+        ne, center = nonempty(rows_t, rhs_t, center)
+        if ne:
+            partition.append(CertRegion(rows_t, rhs_t, tuple(ASl), k + 1, center))
+            max_iter_seen = max(max_iter_seen, k + 1)
+
+    return CertificationResult(mpc, max_iter_seen, partition, exhausted)

@@ -215,6 +215,7 @@ def solve_single(
     use_cholesky: bool = True,
     ldp_hi: "LDPArrays | None" = None,
     refine_iter: int = 16,
+    bulk_iter_cap: int | None = None,
 ) -> Solution:
     """Solve one LDP instance parameterized by ``theta``.
 
@@ -259,9 +260,17 @@ def solve_single(
     side = jnp.ones(m, dtype=bool) if side0 is None else side0
     lam = jnp.where(active, lam, 0.0)
 
+    # the bulk phase gets a small budget when a high-precision phase
+    # follows: a rare f32 tolerance cycle must not stall the whole lockstep
+    # batch -- the f64 continuation finishes any straggler exactly
+    if ldp_hi is not None:
+        cap = bulk_iter_cap if bulk_iter_cap is not None else 2 * m + 16
+        max_iter_lo = min(max_iter, cap)
+    else:
+        max_iter_lo = max_iter
     final = _active_set_loop(
         ldp, du_t, dl_t, is_eq, immut, lam, active, side,
-        max_iter=max_iter, primal_tol=primal_tol, sign_tol=sign_tol,
+        max_iter=max_iter_lo, primal_tol=primal_tol, sign_tol=sign_tol,
         use_cholesky=use_cholesky,
     )
 

@@ -1,0 +1,123 @@
+"""Generated-C differential tests: compile with gcc, load via ctypes, and
+compare against the Python path (reference test/runtests.jl:69-117,
+627-733, 924-948). Skipped gracefully when gcc is unavailable."""
+
+import ctypes
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+import linearmpc_tpu as lmpc
+from linearmpc_tpu.codegen import codegen_c, export_compiled, load_compiled
+from linearmpc_tpu.mpc import MPC
+
+GOLDEN_U = 1.7612519326
+
+needs_gcc = pytest.mark.skipif(shutil.which("gcc") is None, reason="gcc not available")
+
+
+def _build(mpc, tmpdir, **kw):
+    cpath = codegen_c(mpc, tmpdir, **kw)
+    so = f"{tmpdir}/mpctest.so"
+    subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, cpath, "-lm"], check=True)
+    return ctypes.CDLL(so)
+
+
+def _cc(lib, x, r, d=None, np_=0, ct=ctypes.c_double):
+    u = np.zeros(8)
+    arr = lambda v: (ct * len(v))(*v) if v is not None and len(v) else None
+    ubuf = (ct * 8)()
+    args = [ubuf, arr(list(x)), arr(list(r)) if r is not None else None,
+            arr(list(d)) if d is not None else None]
+    lib.mpc_compute_control(*args)
+    return np.array(ubuf[:])
+
+
+@needs_gcc
+def test_codegen_invpend_golden(tmp_path):
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    lib = _build(mpc, str(tmp_path))
+    u = _cc(lib, [5.0, 5.0, 0.0, 0.0], [0.0, 0.0])
+    assert abs(u[0] - GOLDEN_U) < 1e-6
+
+
+@needs_gcc
+def test_codegen_matches_python_sampled(tmp_path):
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    lib = _build(mpc, str(tmp_path))
+    rng = np.random.default_rng(2)
+    for _ in range(25):
+        x = rng.uniform(-10, 10, 4)
+        r = rng.uniform(-10, 10, 2)
+        u_py = mpc.compute_control(x, r=r, uprev=[0.0])
+        u_c = _cc(lib, x, r)
+        assert abs(u_py[0] - u_c[0]) < 1e-8
+
+
+@needs_gcc
+def test_codegen_single_precision(tmp_path):
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    cpath = codegen_c(mpc, str(tmp_path), float_type="single")
+    so = f"{tmp_path}/mpctest32.so"
+    subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, cpath, "-lm"], check=True)
+    lib = ctypes.CDLL(so)
+    u = _cc(lib, [5.0, 5.0, 0.0, 0.0], [0.0, 0.0], ct=ctypes.c_float)
+    assert abs(u[0] - GOLDEN_U) < 1e-3  # single precision tolerance
+
+
+@needs_gcc
+def test_codegen_observer(tmp_path):
+    """(reference test/runtests.jl:924-948)"""
+    mpc, _ = lmpc.mpc_examples("invpend", 50, 5)
+    mpc.set_state_observer(Q=1e2 * np.array([1e-3, 1, 1e-3, 1]), R=[1, 0.1])
+    mpc.setup()
+    lib = _build(mpc, str(tmp_path))
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(4)
+    u = rng.standard_normal(1)
+    y = np.zeros(2)
+
+    mpc.set_state(x)
+    xref1 = mpc.state_observer.predict(u).copy()
+    xref2 = mpc.state_observer.correct(y).copy()
+
+    ct = ctypes.c_double
+    xc = (ct * 4)(*x)
+    lib.mpc_predict_state(xc, (ct * 1)(*u), None)
+    assert np.linalg.norm(np.array(xc[:]) - xref1) < 1e-9
+    lib.mpc_correct_state(xc, (ct * 2)(*y), None)
+    assert np.linalg.norm(np.array(xc[:]) - xref2) < 1e-9
+
+
+@needs_gcc
+def test_codegen_soft_constraints(tmp_path):
+    mpc, _ = lmpc.mpc_examples("dcmotor")
+    mpc.setup()
+    lib = _build(mpc, str(tmp_path))
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        x = rng.uniform(-2, 2, 4)
+        r = rng.uniform(-1, 1, 2)
+        u_py = mpc.compute_control(x, r=r, uprev=[0.0])
+        u_c = _cc(lib, x, r)
+        assert abs(u_py[0] - u_c[0]) < 1e-7
+
+
+def test_export_compiled_roundtrip(tmp_path):
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    path = str(tmp_path / "invpend.jaxexport")
+    meta = export_compiled(mpc, path, batch=32)
+    fn = load_compiled(path)
+    theta = mpc.form_parameter([5.0, 5.0, 0.0, 0.0], uprev=[0.0])
+    thetas = np.tile(theta, (32, 1))
+    U, iters, status = fn(thetas)
+    assert np.all(np.asarray(status) == 1)
+    assert abs(np.asarray(U)[0, 0] - GOLDEN_U) < 1e-6
