@@ -34,6 +34,12 @@ from .types import (
     ParameterRange,
 )
 from .utils.linalg import dare, kalman_gain, matrixify, zoh
+from .explicit import ExplicitMPC, build_explicit, make_singlesided
+from .certify import CertificationResult, certify
+from .invariant import eliminate, invariant_set, minrep
+from .codegen import codegen_c, export_compiled, load_compiled
+from .rollout import build_rollout
+from .models.statespace import model_from_statespace
 
 __version__ = "0.1.0"
 

@@ -213,6 +213,63 @@ class ExplicitMPC:
             return best.F[: self.nu] @ theta + best.g[: self.nu]
         return None
 
+    # -- binary search tree (host point location; reference build_tree!,
+    #    src/explicit.jl:65-71 -- the batched TPU path uses evaluate_batch)
+    def build_tree(self, *, leaf_size: int = 2, max_depth: int = 32):
+        hyperplanes = []
+        for cr in self.regions:
+            for row, rhs in zip(cr.Ath, cr.bth):
+                hyperplanes.append((row, rhs))
+
+        def build(region_ids, depth):
+            if len(region_ids) <= leaf_size or depth >= max_depth:
+                return ("leaf", region_ids)
+            best = None
+            rng = np.random.default_rng(depth)
+            cand_ids = rng.choice(len(hyperplanes), size=min(32, len(hyperplanes)), replace=False)
+            for hid in cand_ids:
+                a, b = hyperplanes[hid]
+                lo, hi_ = [], []
+                for rid in region_ids:
+                    cr = self.regions[rid]
+                    vals = [a @ cr.center - b] if cr.center is not None else [0.0]
+                    # classify by testing the region's probe center; straddle
+                    # handled by duplicating into both branches when margin small
+                    mgn = vals[0]
+                    r_est = _region_radius(cr)
+                    if mgn < -r_est:
+                        lo.append(rid)
+                    elif mgn > r_est:
+                        hi_.append(rid)
+                    else:
+                        lo.append(rid)
+                        hi_.append(rid)
+                score = -max(len(lo), len(hi_))
+                if best is None or score > best[0]:
+                    best = (score, a, b, lo, hi_)
+            _, a, b, lo, hi_ = best
+            if len(lo) == len(region_ids) and len(hi_) == len(region_ids):
+                return ("leaf", region_ids)
+            return ("node", a, b, build(lo, depth + 1), build(hi_, depth + 1))
+
+        self.bst = build(list(range(len(self.regions))), 0)
+        return self.bst
+
+    def evaluate_tree(self, theta):
+        """BST descent + candidate check (falls back to full scan on miss)."""
+        if self.bst is None:
+            self.build_tree()
+        theta = np.asarray(theta, dtype=np.float64).ravel()
+        node = self.bst
+        while node[0] == "node":
+            _, a, b, lo, hi_ = node
+            node = hi_ if a @ theta - b > 0 else lo
+        for rid in node[1]:
+            cr = self.regions[rid]
+            if np.max(cr.Ath @ theta - cr.bth, initial=-np.inf) <= 1e-8:
+                return cr.F[: self.nu] @ theta + cr.g[: self.nu]
+        return self.evaluate(theta)
+
     def build_eval_arrays(self, dtype=None):
         """Stack all region hyperplanes + feedbacks for batched TPU
         evaluation (the MXU replacement for the reference's BST)."""
@@ -258,6 +315,15 @@ def _x64():
     import jax
 
     return bool(jax.config.jax_enable_x64)
+
+
+def _region_radius(cr: "CriticalRegion") -> float:
+    """Cheap extent proxy used by the BST splitter: inscribed-ball radius at
+    the region's probe center (rows are normalized), padded 3x. A region
+    misclassified as one-sided only costs an evaluate() fallback."""
+    if cr.center is None or len(cr.bth) == 0:
+        return np.inf
+    return 3.0 * float(np.min(cr.bth - cr.Ath @ cr.center))
 
 
 def build_explicit(mpc, *, prange=None, max_regions: int = 10000,

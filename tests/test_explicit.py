@@ -102,3 +102,40 @@ def test_make_singlesided_shapes():
     assert len(ss.b) == ss.A.shape[0] == ss.W.shape[0]
     ss1 = make_singlesided(qp, single_soft=True)
     assert ss1.H.shape[0] == qp.H.shape[0] + 1  # one shared slack
+
+
+def test_explicit_bst_evaluation():
+    """BST point location agrees with the full scan (reference build_tree!,
+    test/runtests.jl:180-183)."""
+    mpc, rng_box = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng_box)
+    empc.build_tree()
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        theta = np.concatenate([
+            rng.uniform(-15, 15, 4), rng.uniform(-15, 15, 2), rng.uniform(-2, 2, 1),
+        ])
+        u_scan = empc.evaluate(theta)
+        u_tree = empc.evaluate_tree(theta)
+        if u_scan is None:
+            continue
+        assert np.allclose(u_scan, u_tree, atol=1e-10)
+
+
+def test_model_from_statespace():
+    import scipy.signal as sig
+
+    A = [[0.0, 1], [-2, -0.5]]
+    B = [[0.0], [1]]
+    C = [[1.0, 0]]
+    D = [[0.0]]
+    sys = sig.StateSpace(A, B, C, D)
+    model = lmpc.model_from_statespace(sys, Ts=0.1)
+    assert model.nx == 2 and model.nu == 1 and model.ny == 1
+    sysd = sig.StateSpace([[0.9]], [[1.0]], [[1.0]], [[0.0]], dt=0.2)
+    md = lmpc.model_from_statespace(sysd)
+    assert md.Ts == 0.2 and md.F[0, 0] == 0.9
+    # disturbance-channel split
+    m2 = lmpc.model_from_statespace((np.eye(2), np.ones((2, 3)), np.eye(2), np.zeros((2, 3))), Ts=0.1, nd=1)
+    assert m2.nu == 2 and m2.nd == 1
