@@ -301,6 +301,38 @@ def solve_single(
     return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
 
 
+def finish_from_state(
+    ldp_hi: LDPArrays,
+    theta: jax.Array,
+    lam: jax.Array,
+    active: jax.Array,
+    side: jax.Array,
+    iters0: jax.Array,
+    *,
+    max_iter: int = 32,
+    primal_tol: float = 1e-6,
+    sign_tol: float = 1e-11,
+    use_cholesky: bool = True,
+) -> Solution:
+    """High-precision continuation + primal recovery from a bulk-phase state
+    (the tail of ``solve_single`` as a standalone entry, used after the
+    fused Pallas bulk kernel)."""
+    hi = ldp_hi.G.dtype
+    theta_hi = theta.astype(hi)
+    du_hi, dl_hi = _transformed_bounds(ldp_hi, theta_hi, None, None)
+    final = _active_set_loop(
+        ldp_hi, du_hi, dl_hi, ldp_hi.is_eq, ldp_hi.is_immutable,
+        lam.astype(hi), active | ldp_hi.is_eq, side,
+        max_iter=max_iter + iters0.astype(jnp.int32), primal_tol=primal_tol,
+        sign_tol=sign_tol, use_cholesky=use_cholesky, iters0=iters0.astype(jnp.int32),
+    )
+    U = ldp_hi.u_off + ldp_hi.Uth_off @ theta_hi - ldp_hi.HinvET @ final.lam
+    f_t = ldp_hi.f + ldp_hi.f_theta @ theta_hi
+    fval = 0.5 * U @ (ldp_hi.H @ U) + f_t @ U
+    status = jnp.where(final.done, jnp.int32(1), jnp.int32(-1))
+    return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
+
+
 def polish_solution(
     ldp_hi: LDPArrays,
     theta: jax.Array,

@@ -84,6 +84,58 @@ class SolverEngine:
         self._single = jax.jit(_single)
         self._batched = jax.jit(_batched)
 
+        # fused Pallas bulk phase: gather/solve/scan fused into one kernel,
+        # lane-major tiles of 128. EXPERIMENTAL: opt-in via
+        # LINEARMPC_TPU_PALLAS=1 until the Mosaic lowering issues are
+        # resolved (see CLAUDE.md); the XLA path already exceeds the
+        # throughput target.
+        import os as _os
+
+        self.use_pallas = (
+            _os.environ.get("LINEARMPC_TPU_PALLAS", "0") == "1"
+            and self.dtype == jnp.float32
+            and subset_inv is not None
+            and not self.has_binaries
+            and jax.default_backend() not in ("cpu",)
+        )
+        if self.use_pallas:
+            from .dual_active_set import finish_from_state
+            from .pallas_solver import phase1_pallas
+
+            m = ldp.m
+            subset_flat = jnp.asarray(subset_inv.reshape(2**m, m * m).T, jnp.float32)
+            G32 = jnp.asarray(ldp.G, jnp.float32)
+            Dth32 = jnp.asarray(ldp.Dth, jnp.float32)
+            du32 = jnp.asarray(ldp.du, jnp.float32)
+            dl32 = jnp.asarray(ldp.dl, jnp.float32)
+            eqf = jnp.asarray(ldp.is_eq, jnp.float32)
+            immutf = jnp.asarray(ldp.is_immutable, jnp.float32)
+            bulk_cap = min(self.iter_limit, 2 * m + 16)
+
+            def _pallas_batch(hi, thetas, lam0=None, act0=None, side0=None):
+                B = thetas.shape[0]
+                th32 = thetas.astype(jnp.float32)
+                du_t = du32 + th32 @ Dth32.T
+                dl_t = dl32 + th32 @ Dth32.T
+                if lam0 is None:
+                    lam0 = jnp.zeros((B, m), jnp.float32)
+                    act0 = jnp.broadcast_to(eqf > 0.5, (B, m))
+                    side0 = jnp.ones((B, m), bool)
+                lam, act, side, iters, done = phase1_pallas(
+                    subset_flat, G32, du_t, dl_t, eqf, immutf,
+                    lam0.astype(jnp.float32), act0.astype(jnp.float32),
+                    side0.astype(jnp.float32),
+                    m=m, n_subsets=2**m, max_iter=bulk_cap,
+                    primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+                )
+                return jax.vmap(
+                    lambda th, l0, a0, s0, it0: finish_from_state(
+                        hi, th, l0, a0, s0, it0, use_cholesky=self.symmetric,
+                    )
+                )(thetas, lam, act, side, iters)
+
+            self._pallas_batched = jax.jit(_pallas_batch)
+
         if self.has_binaries:
             from .bnb import solve_bnb_single
             from .dual_active_set import polish_solution
@@ -131,6 +183,11 @@ class SolverEngine:
         thetas = jnp.asarray(thetas, dtype=in_dtype)
         if self.has_binaries:
             return self._bnb_batched(self.arrays, self.arrays_hi, thetas)
+        if self.use_pallas and self.arrays_hi is not None and thetas.shape[0] % 128 == 0:
+            if warm is None:
+                return self._pallas_batched(self.arrays_hi, thetas)
+            lam0, act0, side0 = warm
+            return self._pallas_batched(self.arrays_hi, thetas, lam0, act0, side0)
         if warm is None:
             return self._batched(self.arrays, self.arrays_hi, thetas)
         lam0, act0, side0 = warm
