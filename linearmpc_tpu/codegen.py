@@ -51,7 +51,7 @@ static c_float ws_chol[N_CON * N_CON];
 static c_float ws_rhs[N_CON];
 static c_float ws_lam[N_CON];
 
-static int solve_ws(const c_float *dloc, int *ws, int *side, int k, c_float rho)
+static int solve_ws(const c_float *dloc, int *ws, int *side, int k)
 {
     int i, j, t;
     /* build G_WW (+ rho on soft diagonal) and rhs = -d_W */
@@ -59,7 +59,7 @@ static int solve_ws(const c_float *dloc, int *ws, int *side, int k, c_float rho)
         for (j = 0; j <= i; j++)
             ws_chol[i * k + j] = MPC_G[ws[i] * N_CON + ws[j]];
         if (MPC_SOFT[ws[i]])
-            ws_chol[i * k + i] += rho;
+            ws_chol[i * k + i] += MPC_RHO[ws[i]];
         ws_rhs[i] = -dloc[2 * ws[i] + (side[i] ? 0 : 1)];
     }
     /* in-place Cholesky */
@@ -101,7 +101,7 @@ int mpc_solve_ldp(const c_float *dloc, c_float *lam)
         if (MPC_EQ[i]) { ws[k] = i; side[k] = 1; k++; }
 
     for (it = 0; it < MPC_ITER_LIMIT; it++) {
-        if (k > 0 && solve_ws(dloc, ws, side, k, MPC_RHO_SOFT)) return -2;
+        if (k > 0 && solve_ws(dloc, ws, side, k)) return -2;
 
         /* sign check on removable multipliers */
         int blocked = 0, kb = -1;
@@ -299,7 +299,6 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
         f"#define MPC_ITER_LIMIT {iter_limit}",
         f"#define MPC_PRIMAL_TOL 1e-6",
         f"#define MPC_SIGN_TOL 1e-11",
-        f"#define MPC_RHO_SOFT ((c_float){ldp.rho_soft:.20g})",
     ]
     if np_ > 0:
         hdr += ["#define MPC_PARAM_ARG , c_float *affine_parameter",
@@ -332,6 +331,7 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
     src.append(_fmt_int_array("MPC_EQ", ldp.is_eq.astype(int)))
     src.append(_fmt_int_array("MPC_IMMUTABLE", ldp.is_immutable.astype(int)))
     src.append(_fmt_int_array("MPC_SOFT", ldp.is_soft.astype(int)))
+    src.append(_fmt_array("MPC_RHO", ldp.rho_soft, "c_float"))
     if mpc.settings.reference_condensation:
         src.append(_fmt_array("MPC_TRAJ2SETPOINT", mpc.traj2setpoint, "c_float"))
     src.append(_C_PARAMETER)

@@ -78,7 +78,7 @@ class Solution(NamedTuple):
 def to_device_arrays(ldp: LDPData, dtype=jnp.float64, subset_inv=None) -> LDPArrays:
     cast = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
     G = cast(ldp.G)
-    G_solve = G + jnp.diag(cast(ldp.rho_soft * ldp.is_soft.astype(np.float64)))
+    G_solve = G + jnp.diag(cast(np.asarray(ldp.rho_soft, dtype=np.float64)))
     return LDPArrays(
         G=G, G_solve=G_solve,
         Dth=cast(ldp.Dth), du=cast(ldp.du), dl=cast(ldp.dl),

@@ -45,7 +45,7 @@ class LDPData:
     is_binary: np.ndarray    # (m,) bool
     up_finite: np.ndarray    # (m,) bool: upper bound is finite (branchable)
     lo_finite: np.ndarray    # (m,) bool: lower bound is finite (branchable)
-    rho_soft: float
+    rho_soft: np.ndarray  # (m,) per-row proximal weight (0 for hard rows)
     scaling: np.ndarray  # (m,) row norms used for normalization
 
     @property
@@ -61,12 +61,20 @@ class LDPData:
         return self.Dth.shape[1]
 
 
-def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True) -> LDPData:
+def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True,
+           priority_separation: float = 1e4) -> LDPData:
     """Precompute the batched-LDP arrays for an mpQP.
 
     Rows are normalized by ||E_i H^-1/2|| (= sqrt diag G) so the dual Gram
     matrix has unit diagonal, matching the row scaling DAQP applies
     (reference src/codegen.jl:252-268).
+
+    Prioritized soft constraints (the reference's break_points hierarchy,
+    src/mpc2mpqp.jl:859-893 / DAQP hierarchical mode) are realized through
+    per-level soft weights separated by ``priority_separation``: a
+    higher-priority soft row carries a weight ``separation^levels`` larger,
+    so violations resolve lexicographically in a single solve -- the
+    batched-lockstep alternative to DAQP's sequential hierarchy.
     """
     H = mpqp.H
     if mpqp.is_symmetric:
@@ -104,6 +112,18 @@ def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True) -> L
     is_soft = (senses & SOFT) != 0
     is_binary = (senses & BINARY) != 0
 
+    # per-row soft weights: priority levels get geometrically separated
+    # weights (higher priority = larger weight = smaller rho)
+    rho = np.where(is_soft, 1.0 / soft_weight, 0.0)
+    levels = np.unique(mpqp.prio)
+    if len(levels) > 1:
+        n_lvl = len(levels)
+        for li, lvl in enumerate(levels):
+            rows = (mpqp.prio == lvl) & is_soft
+            # lower prio value = higher priority = heavier weight
+            w = soft_weight * priority_separation ** (n_lvl - 1 - li)
+            rho[rows] = 1.0 / w
+
     return LDPData(
         G=G, Dth=Dth, du=du, dl=dl,
         HinvET=HinvET, Uth_off=-Hinv_ftheta, u_off=-Hinv_f,
@@ -111,7 +131,7 @@ def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True) -> L
         is_eq=is_eq, is_immutable=is_immutable,
         is_soft=is_soft, is_binary=is_binary,
         up_finite=mpqp.bu < 1e20, lo_finite=mpqp.bl > -1e20,
-        rho_soft=1.0 / soft_weight,
+        rho_soft=rho,
         scaling=scale,
     )
 
@@ -133,7 +153,7 @@ def precompute_subset_inverses(ldp: LDPData) -> np.ndarray:
     m = ldp.m
     if m > SUBSET_CACHE_MAX_M:
         raise ValueError(f"subset cache limited to m <= {SUBSET_CACHE_MAX_M}")
-    G_solve = ldp.G + np.diag(ldp.rho_soft * ldp.is_soft.astype(np.float64))
+    G_solve = ldp.G + np.diag(np.asarray(ldp.rho_soft, dtype=np.float64))
     out = np.empty((1 << m, m, m))
     out[0] = np.eye(m)
     for mask in range(1, 1 << m):

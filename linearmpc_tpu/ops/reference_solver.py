@@ -28,7 +28,7 @@ def solve_ldp_numpy(
     m = ldp.m
     du = ldp.du + ldp.Dth @ theta
     dl = ldp.dl + ldp.Dth @ theta
-    G = ldp.G + np.diag(ldp.rho_soft * ldp.is_soft.astype(np.float64))
+    G = ldp.G + np.diag(np.asarray(ldp.rho_soft, dtype=np.float64))
 
     work: list[int] = list(np.where(ldp.is_eq)[0])
     sides: dict[int, bool] = {i: True for i in work}
