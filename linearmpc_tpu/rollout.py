@@ -9,9 +9,10 @@ plan). Warm starts carry the working set between steps, matching DAQP's
 warm-start semantics (reference codegen DAQP_WARMSTART,
 src/codegen.jl:167-169).
 
-Supported here: the standard non-preview parameter layout
-theta = [x; r; d; u_prev] with optional steady-state Kalman filter.
-Preview layouts fall back to the host loop (simulation.py).
+Supports the full parameter layout theta = [x; r; d; u_prev; p] including
+reference/disturbance/parameter preview (sliding hold-last windows sliced
+per step with ``dynamic_slice``) and reference condensation. Offset-free
+observers fall back to the host loop (simulation.py).
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .condense import get_affine_parameter_base_dim
 from .ops.dual_active_set import solve_single
 
 
@@ -33,13 +35,23 @@ class RolloutResult(NamedTuple):
     status: jax.Array  # (B, N)
 
 
+def _pad_traj_time(traj, T_needed):
+    """Hold-last pad a (B, T, n) trajectory along time to T_needed."""
+    B, T, n = traj.shape
+    if T >= T_needed:
+        return traj[:, :T_needed, :]
+    pad = jnp.broadcast_to(traj[:, -1:, :], (B, T_needed - T, n))
+    return jnp.concatenate([traj, pad], axis=1)
+
+
 def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
     """Compile a batched closed-loop rollout for ``mpc``.
 
-    Returns ``rollout(x0s, rs, ds, N) -> RolloutResult`` where
+    Returns ``rollout(x0s, rs, ds, ps=None, N=100) -> RolloutResult``:
       * ``x0s``: (B, nx) initial states
-      * ``rs``:  (B, nr) constant references per lane (or None)
-      * ``ds``:  (B, N, nd) measured disturbances (or None)
+      * ``rs``:  (B, ny) constant reference per lane or (B, T, ny) trajectory
+      * ``ds``:  (B, T, nd) measured disturbances (or None)
+      * ``ps``:  (B, np_base) constant or (B, T, np_base) trajectory (or None)
     ``N`` is static (baked into the scan length at first call).
 
     ``plant``: optional (F, G, f_offset)-triple overriding the simulated
@@ -47,8 +59,6 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
     """
     if not mpc.mpqp_issetup:
         mpc.setup()
-    if mpc.settings.reference_preview or mpc.settings.disturbance_preview or mpc.settings.parameter_preview:
-        raise NotImplementedError("preview layouts use the host simulation loop")
 
     engine = mpc.engine
     arrays = engine.arrays
@@ -59,8 +69,13 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
     model = mpc.model
     nx, nu, ny, nd_model = model.nx, model.nu, model.ny, model.nd
     nx_, nr, nd, nuprev, np_ = mpc.get_parameter_dims()
-    if np_ > 0:
-        raise NotImplementedError("generalized parameters in rollout: pass p through theta manually")
+    Np = mpc.Np
+    np_base = get_affine_parameter_base_dim(mpc)
+
+    r_preview = mpc.settings.reference_preview and nr > 0
+    r_condense = r_preview and mpc.settings.reference_condensation
+    d_preview = mpc.settings.disturbance_preview and nd > 0
+    p_preview = mpc.settings.parameter_preview and np_ > 0
 
     c = lambda a: jnp.asarray(np.asarray(a, dtype=np.float64), dtype=dtype)
     if plant is None:
@@ -72,6 +87,7 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
     Dd = c(model.Dd)
     h_off = c(model.h_offset)
     K = c(mpc.K)
+    T2S = c(mpc.traj2setpoint) if r_condense else None
 
     obs = mpc.state_observer
     has_obs = obs is not None if use_observer is None else bool(use_observer)
@@ -89,59 +105,94 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
 
     m = arrays.G.shape[0]
 
-    def step(carry, inp):
-        x, xo, uprev, lam, act, side = carry
-        r_k, d_k = inp
-
-        # measure
-        y_m = x @ C.T + h_off + (d_k @ Dd.T if nd_model else 0.0)
-
-        if has_obs:
-            inov = y_m - xo @ oC.T - oh - (d_k @ oDd.T if nd_model else 0.0)
-            xo = xo + inov @ oK.T
-            xhat = xo[:, :nx]
-        else:
-            xhat = x
-
-        parts = [xhat]
-        if nr:
-            parts.append(r_k)
-        if nd:
-            parts.append(d_k)
-        if nuprev:
-            parts.append(uprev[:, :nuprev])
-        theta = jnp.concatenate(parts, axis=1)
-
-        sol = jax.vmap(
-            lambda th, l0, a0, s0: solve_single(arrays, th, l0, a0, s0, ldp_hi=arrays_hi, **kw)
-        )(theta, lam, act, side)
-        u = sol.U[:, :nu].astype(dtype) - xhat @ K.T
-
-        if has_obs:
-            xo = xo @ oF.T + u @ oG.T + of + (d_k @ oGd.T if nd_model else 0.0)
-
-        x_next = x @ Fp.T + u @ Gp.T + fp + (d_k @ Gd.T if nd_model else 0.0)
-        carry = (x_next, xo, u, sol.lam.astype(dtype), sol.active, sol.side)
-        return carry, (x, u, y_m, sol.iters, sol.status)
-
-    def rollout(x0s, rs=None, ds=None, N: int = 100):
+    def rollout(x0s, rs=None, ds=None, ps=None, N: int = 100):
         B = x0s.shape[0]
         x0s = jnp.asarray(x0s, dtype)
-        rs = jnp.zeros((B, nr), dtype) if (rs is None or nr == 0) else jnp.asarray(rs, dtype)
-        if ds is None or nd_model == 0:
-            ds = jnp.zeros((N, B, nd_model), dtype)
+
+        # normalize trajectories to (B, N + Np + 1, *) with hold-last padding
+        T_need = N + Np + 1
+        if nr and rs is not None:
+            rs = jnp.asarray(rs, dtype)
+            if rs.ndim == 2:
+                rs = rs[:, None, :]
+            rs = _pad_traj_time(rs, T_need)
         else:
-            ds = jnp.moveaxis(jnp.asarray(ds, dtype), 1, 0)  # (B,N,nd) -> (N,B,nd)
-        rs_t = jnp.broadcast_to(rs, (N,) + rs.shape)
+            rs = jnp.zeros((B, T_need, ny), dtype)
+        if nd_model and ds is not None:
+            ds = jnp.asarray(ds, dtype)
+            if ds.ndim == 2:
+                ds = ds[:, None, :]
+            ds = _pad_traj_time(ds, T_need)
+        else:
+            ds = jnp.zeros((B, T_need, nd_model), dtype)
+        if np_ and ps is not None:
+            ps = jnp.asarray(ps, dtype)
+            if ps.ndim == 2:
+                ps = ps[:, None, :]
+            ps = _pad_traj_time(ps, T_need)
+        else:
+            ps = jnp.zeros((B, T_need, max(np_base, 1)), dtype)
+
+        def window(traj, k0, width):
+            w = jax.lax.dynamic_slice_in_dim(traj, k0, width, axis=1)
+            return w.reshape(B, -1)  # time-major blocks, matching vec()
+
+        def step(carry, _):
+            x, xo, uprev, lam, act, side, kk = carry
+            d_k = jax.lax.dynamic_slice_in_dim(ds, kk, 1, axis=1)[:, 0, :]
+
+            y_m = x @ C.T + h_off + (d_k @ Dd.T if nd_model else 0.0)
+
+            if has_obs:
+                inov = y_m - xo @ oC.T - oh - (d_k @ oDd.T if nd_model else 0.0)
+                xo = xo + inov @ oK.T
+                xhat = xo[:, :nx]
+            else:
+                xhat = x
+
+            parts = [xhat]
+            if nr:
+                if r_preview:
+                    # reference window: steps k+1 .. k+Np (hold-last)
+                    r_flat = window(rs, kk + 1, Np)
+                    parts.append(r_flat @ T2S.T if r_condense else r_flat)
+                else:
+                    parts.append(jax.lax.dynamic_slice_in_dim(rs, kk, 1, axis=1)[:, 0, :])
+            if nd:
+                if d_preview:
+                    parts.append(window(ds, kk, Np))
+                else:
+                    parts.append(d_k)
+            if nuprev:
+                parts.append(uprev[:, :nuprev])
+            if np_:
+                if p_preview:
+                    parts.append(window(ps, kk, Np))
+                else:
+                    parts.append(jax.lax.dynamic_slice_in_dim(ps, kk, 1, axis=1)[:, 0, :])
+            theta = jnp.concatenate(parts, axis=1)
+
+            sol = jax.vmap(
+                lambda th, l0, a0, s0: solve_single(arrays, th, l0, a0, s0, ldp_hi=arrays_hi, **kw)
+            )(theta, lam, act, side)
+            u = sol.U[:, :nu].astype(dtype) - xhat @ K.T
+
+            if has_obs:
+                xo = xo @ oF.T + u @ oG.T + of + (d_k @ oGd.T if nd_model else 0.0)
+
+            x_next = x @ Fp.T + u @ Gp.T + fp + (d_k @ Gd.T if nd_model else 0.0)
+            carry = (x_next, xo, u, sol.lam.astype(dtype), sol.active, sol.side, kk + 1)
+            return carry, (x, u, y_m, sol.iters, sol.status)
 
         xo0 = jnp.zeros((B, nxo), dtype)
         if has_obs:
             xo0 = xo0.at[:, :nx].set(x0s)
         carry0 = (
             x0s, xo0, jnp.zeros((B, nu), dtype),
-            jnp.zeros((B, m), dtype), jnp.zeros((B, m), dtype=bool), jnp.ones((B, m), dtype=bool),
+            jnp.zeros((B, m), dtype), jnp.zeros((B, m), dtype=bool),
+            jnp.ones((B, m), dtype=bool), jnp.int32(0),
         )
-        carry, (xs, us, ys, iters, status) = jax.lax.scan(step, carry0, (rs_t, ds))
+        carry, (xs, us, ys, iters, status) = jax.lax.scan(step, carry0, None, length=N)
         return RolloutResult(
             jnp.moveaxis(xs, 0, 1), jnp.moveaxis(us, 0, 1), jnp.moveaxis(ys, 0, 1),
             jnp.moveaxis(iters, 0, 1), jnp.moveaxis(status, 0, 1),

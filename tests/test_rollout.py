@@ -141,3 +141,77 @@ def test_pallas_kernel_interpret_matches_xla():
         lambda th: das.solve_single(eng.arrays, th, max_iter=40, primal_tol=2e-5, sign_tol=1e-6)
     )(jnp.asarray(thetas))
     assert np.mean(np.all(np.asarray(act) == np.asarray(sol.active), axis=1)) == 1.0
+
+
+def test_rollout_reference_preview_matches_host():
+    from linearmpc_tpu.mpc import MPC as _MPC
+
+    def build():
+        A = np.array([[1.0, 1], [0, 1]])
+        B = np.array([[0.0], [1]])
+        mpc = _MPC.from_discrete(A, B, C=np.eye(2), Np=5, Nc=3)
+        mpc.set_bounds(umin=[-2.0], umax=[2.0])
+        mpc.set_objective(Q=[1.0, 1.0], R=[0.1])
+        mpc.settings.reference_preview = True
+        return mpc
+
+    N = 20
+    r_traj = np.zeros((2, N))
+    r_traj[0, 10:] = 1.0
+
+    mpc = build()
+    mpc.setup()
+    rollout = build_rollout(mpc)
+    res = rollout(np.array([[1.0, 0.0]]), r_traj.T[None, :, :], None, N=N)
+
+    sim = lmpc.simulate_kw(build(), x0=[1.0, 0.0], N=N, r=r_traj)
+    assert np.max(np.abs(np.asarray(res.us)[0].T - sim.us)) < 1e-8
+
+
+def test_rollout_disturbance_preview_matches_host():
+    from linearmpc_tpu.mpc import MPC as _MPC
+
+    def build():
+        A = np.array([[1.0, 1], [0, 1]])
+        B = np.array([[0.0], [1]])
+        Gd = np.array([[0.0], [1]])
+        mpc = _MPC.from_discrete(A, B, Gd=Gd, C=[[1.0, 0]], Np=5, Nc=5)
+        mpc.set_bounds(umin=[-0.5], umax=[0.5])
+        mpc.set_objective(Q=[10.0], R=[0.1])
+        mpc.settings.disturbance_preview = True
+        return mpc
+
+    N = 20
+    d_traj = np.hstack([np.zeros((1, 8)), np.ones((1, 12))])
+
+    mpc = build()
+    mpc.setup()
+    rollout = build_rollout(mpc)
+    res = rollout(np.zeros((1, 2)), None, d_traj.T[None, :, :], N=N)
+
+    sim = lmpc.simulate_kw(build(), x0=[0.0, 0.0], N=N, d=d_traj)
+    assert np.max(np.abs(np.asarray(res.us)[0].T - sim.us)) < 1e-8
+
+
+def test_rollout_generalized_parameters():
+    from linearmpc_tpu.mpc import MPC as _MPC
+
+    def build():
+        A = np.array([[0.0, -0.37], [0.37, 0.74]])
+        B = np.array([[0.37], [0.26]])
+        mpc = _MPC.from_discrete(A, B, C=np.eye(2), Np=5, Nc=3)
+        mpc.set_bounds(umin=[-2.0], umax=[2.0])
+        mpc.set_objective(Q=[1.0, 1.0], R=[0.1], Eu=[[1.0]])
+        return mpc
+
+    N = 15
+    p_traj = -0.5 * np.ones((1, N))
+
+    mpc = build()
+    mpc.setup()
+    rollout = build_rollout(mpc)
+    res = rollout(np.array([[1.0, 0.0]]), np.zeros((1, 2)), None,
+                  ps=p_traj.T[None, :, :], N=N)
+
+    sim = lmpc.simulate_kw(build(), x0=[1.0, 0.0], N=N, r=np.zeros((2, N)), p=p_traj)
+    assert np.max(np.abs(np.asarray(res.us)[0].T - sim.us)) < 1e-8
