@@ -353,7 +353,11 @@ def build_explicit(mpc, *, prange=None, max_regions: int = 10000,
     n = qp.H.shape[0]
     m = qp.A.shape[0]
 
-    Hinv = np.linalg.inv((qp.H + qp.H.T) / 2)
+    # non-symmetric H (game-theoretic AVI mode): the KKT conditions
+    # H U + f_t + A' lam = 0, lam >= 0 stay affine in theta, so the same
+    # enumeration applies with the unsymmetrized inverse
+    sym = np.allclose(qp.H, qp.H.T, rtol=1e-9)
+    Hinv = np.linalg.inv((qp.H + qp.H.T) / 2 if sym else qp.H)
     AHinv = qp.A @ Hinv          # (m, n)
     AHA = AHinv @ qp.A.T         # (m, m)
     # unconstrained solution U0(th) = -Hinv (f + f_theta th)

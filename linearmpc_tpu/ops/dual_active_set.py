@@ -120,8 +120,15 @@ def _active_set_loop(
     sign_tol: float,
     use_cholesky: bool,
     iters0=None,
+    unroll: int = 0,
 ):
-    """The branch-free masked dual active-set iteration (one precision)."""
+    """The branch-free masked dual active-set iteration (one precision).
+
+    ``unroll > 0`` switches from an early-exit ``while_loop`` to a fixed
+    ``scan`` of ``max_iter`` steps unrolled by that factor: every lane pays
+    the full budget, but XLA fuses across iterations, collapsing the
+    per-iteration kernel-dispatch overhead that dominates small problems.
+    """
     dtype = ldp.G.dtype
     m = ldp.G.shape[0]
     idx = jnp.arange(m)
@@ -187,6 +194,11 @@ def _active_set_loop(
 
     it0 = jnp.int32(0) if iters0 is None else iters0
     init = DualState(lam, active, side, it0, jnp.asarray(False))
+    if unroll > 0:
+        final, _ = jax.lax.scan(
+            lambda s, _: (body(s), None), init, None, length=max_iter, unroll=unroll
+        )
+        return final
     return jax.lax.while_loop(cond, body, init)
 
 
@@ -216,6 +228,7 @@ def solve_single(
     ldp_hi: "LDPArrays | None" = None,
     refine_iter: int = 16,
     bulk_iter_cap: int | None = None,
+    bulk_unroll: int = 0,
 ) -> Solution:
     """Solve one LDP instance parameterized by ``theta``.
 
@@ -271,7 +284,7 @@ def solve_single(
     final = _active_set_loop(
         ldp, du_t, dl_t, is_eq, immut, lam, active, side,
         max_iter=max_iter_lo, primal_tol=primal_tol, sign_tol=sign_tol,
-        use_cholesky=use_cholesky,
+        use_cholesky=use_cholesky, unroll=bulk_unroll if ldp_hi is not None else 0,
     )
 
     if ldp_hi is not None:

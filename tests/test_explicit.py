@@ -139,3 +139,31 @@ def test_model_from_statespace():
     # disturbance-channel split
     m2 = lmpc.model_from_statespace((np.eye(2), np.ones((2, 3)), np.eye(2), np.zeros((2, 3))), Ts=0.1, nd=1)
     assert m2.nu == 2 and m2.nd == 1
+
+
+def test_explicit_game_theoretic():
+    """Game-theoretic (non-symmetric H, AVI) explicit MPC matches the
+    implicit controller in closed loop (reference test/runtests.jl:1337-1358)."""
+    from linearmpc_tpu.mpc import MPC as _MPC
+
+    def build():
+        F = np.array([[1.0, 0.1], [0, 1]])
+        G = np.array([[0.0, 0], [1, 1]])
+        mpc = _MPC.from_discrete(F, G, C=np.eye(2), Np=10)
+        mpc.set_objective(uids=[0], Q=[1, 0], Rr=1e3 * np.eye(1))
+        mpc.set_objective(uids=[1], Q=[0, 1], Rr=1e3 * np.eye(1))
+        mpc.set_bounds(umin=-np.ones(2), umax=np.ones(2))
+        mpc.move_block([1, 1, 8])
+        return mpc
+
+    mpc = build()
+    mpc.setup()
+    assert not np.allclose(mpc.mpQP.H, mpc.mpQP.H.T)
+    empc = build_explicit(mpc, prange=mpc.parameter_range())
+    assert empc is not None and len(empc.regions) >= 1
+
+    sim_imp = lmpc.simulate_kw(build(), x0=10 * np.ones(2), r=[10, 0], N=500)
+    sim_exp = lmpc.simulate_kw(empc, x0=10 * np.ones(2), r=[10, 0], N=500)
+    assert np.max(np.abs(sim_imp.us - sim_exp.us)) < 1e-4
+    assert abs(sim_exp.ys[0, -1] - 10.0) < 1e-4
+    assert abs(sim_exp.ys[1, -1]) < 1e-4
