@@ -66,11 +66,11 @@ class SolverEngine:
         self.polish = (self.dtype != jnp.float64) if polish is None else bool(polish)
         self.arrays_hi = to_device_arrays(ldp, jnp.float64, subset_inv) if self.polish else None
 
-        # unrolled bulk phase on accelerators: trades ~4x redundant masked
-        # iterations for ~10x fewer kernel dispatches (dominant at small m)
-        if bulk_unroll is None:
-            bulk_unroll = 8 if (self.dtype == jnp.float32 and jax.default_backend() != "cpu") else 0
-        self.bulk_unroll = int(bulk_unroll)
+        # unrolled bulk phase: trades redundant masked iterations for fewer
+        # kernel dispatches. Opt-in: the 8x-unrolled graph inflates axon
+        # remote-compile time to 15+ minutes, so the early-exit while_loop
+        # stays the default.
+        self.bulk_unroll = 0 if bulk_unroll is None else int(bulk_unroll)
         kw = dict(
             max_iter=self.iter_limit, primal_tol=self.primal_tol, sign_tol=self.sign_tol,
             use_cholesky=self.symmetric, bulk_unroll=self.bulk_unroll,
