@@ -37,9 +37,11 @@ from .utils.linalg import dare, kalman_gain, matrixify, zoh
 from .explicit import ExplicitMPC, build_explicit, make_singlesided
 from .certify import CertificationResult, certify
 from .invariant import eliminate, invariant_set, minrep
-from .codegen import codegen_c, export_compiled, load_compiled
+from .codegen import codegen_c, codegen_c_explicit, export_compiled, load_compiled
 from .rollout import build_rollout
 from .models.statespace import model_from_statespace
+from .checkpoint import load_explicit, load_problem, save_explicit, save_problem
+from .profiling import SolveStats, instrument
 
 __version__ = "0.1.0"
 

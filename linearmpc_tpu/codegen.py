@@ -413,3 +413,114 @@ def load_compiled(path: str):
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
     return exported.call
+
+
+_C_EXPLICIT = r"""
+/* Explicit MPC: first region containing theta wins; the fallback is the
+ * region with the smallest violation (boundary jitter). */
+int mpc_compute_control(c_float *control, c_float *state, c_float *reference,
+                        c_float *disturbance MPC_PARAM_ARG)
+{
+    c_float theta[N_THETA];
+    int r, i, j, best = -1;
+    c_float best_viol = (c_float)1e30;
+
+    mpc_update_parameter(theta, state, reference, disturbance MPC_PARAM_PASS);
+
+    for (r = 0; r < N_REGIONS; r++) {
+        const int row0 = EMPC_ROW_OFFSET[r];
+        const int rows = EMPC_ROW_OFFSET[r + 1] - row0;
+        c_float viol = (c_float)-1e30;
+        for (i = 0; i < rows; i++) {
+            c_float acc = -EMPC_BTH[row0 + i];
+            for (j = 0; j < N_THETA; j++)
+                acc += EMPC_ATH[(size_t)(row0 + i) * N_THETA + j] * theta[j];
+            if (acc > viol) viol = acc;
+        }
+        if (viol <= (c_float)1e-8) { best = r; break; }
+        if (viol < best_viol) { best_viol = viol; best = r; }
+    }
+    if (best < 0) return -1;
+    for (i = 0; i < N_CONTROL; i++) {
+        c_float u = EMPC_G[(size_t)best * N_CONTROL + i];
+        for (j = 0; j < N_THETA; j++)
+            u += EMPC_F[((size_t)best * N_CONTROL + i) * N_THETA + j] * theta[j];
+        control[i] = u;
+    }
+    return 1;
+}
+"""
+
+
+def codegen_c_explicit(empc, dir: str, *, fname: str = "empc_workspace",
+                       float_type: str = "double") -> str:
+    """Emit self-contained C for an explicit controller: region tables plus
+    a piecewise-affine evaluator (the analog of the reference's generated
+    BST evaluation, src/codegen.jl:62-137)."""
+    mpc = empc.mpc
+    if mpc is not None and mpc.settings.disturbance_preview and mpc.state_observer is not None:
+        raise ValueError("Code generation not supported for disturbance preview with a state observer.")
+    os.makedirs(dir, exist_ok=True)
+    ctype = "float" if float_type in ("float", "single") else "double"
+    nth, nu = empc.nth, empc.nu
+    R = len(empc.regions)
+
+    offsets = [0]
+    Ath_rows, bth_rows, Fs, gs = [], [], [], []
+    for cr in empc.regions:
+        Ath_rows.append(cr.Ath.reshape(-1, nth) if cr.Ath.size else np.zeros((0, nth)))
+        bth_rows.append(cr.bth)
+        offsets.append(offsets[-1] + len(cr.bth))
+        Fs.append(cr.F[:nu])
+        gs.append(cr.g[:nu])
+
+    nx, nr, nd, nuprev, np_ = (mpc.get_parameter_dims() if mpc is not None
+                               else (nth, 0, 0, 0, 0))
+
+    hdr = [
+        "/* Generated by linearmpc_tpu codegen (explicit MPC, allocation-free). */",
+        f"#ifndef {fname.upper()}_H",
+        f"#define {fname.upper()}_H",
+        f"typedef {ctype} c_float;",
+        "#include <stddef.h>",
+        f"#define N_THETA {nth}",
+        f"#define N_STATE {nx}",
+        f"#define N_REFERENCE {nr}",
+        f"#define N_DISTURBANCE {nd}",
+        f"#define N_CONTROL_PREV {nuprev}",
+        f"#define N_AFFINE_PARAMETER {np_}",
+        f"#define N_CONTROL {nu}",
+        f"#define N_REGIONS {R}",
+    ]
+    if np_ > 0:
+        hdr += ["#define MPC_PARAM_ARG , c_float *affine_parameter",
+                "#define MPC_PARAM_PASS , affine_parameter"]
+    else:
+        hdr += ["#define MPC_PARAM_ARG", "#define MPC_PARAM_PASS"]
+    if mpc is not None and mpc.settings.reference_condensation:
+        hdr += ["#define MPC_REF_CONDENSATION 1",
+                f"#define N_REF_TRAJ {mpc.traj2setpoint.shape[1]}"]
+    hdr += [
+        "extern c_float mpc_uprev[];",
+        "void mpc_update_parameter(c_float*, c_float*, c_float*, c_float* MPC_PARAM_ARG);",
+        "int mpc_compute_control(c_float*, c_float*, c_float*, c_float* MPC_PARAM_ARG);",
+        f"#endif /* {fname.upper()}_H */",
+    ]
+
+    src = [f'#include "{fname}.h"', f"c_float mpc_uprev[{max(nu, 1)}];"]
+    src.append(_fmt_int_array("EMPC_ROW_OFFSET", offsets))
+    src.append(_fmt_array("EMPC_ATH", np.vstack(Ath_rows), "c_float"))
+    src.append(_fmt_array("EMPC_BTH", np.concatenate(bth_rows), "c_float"))
+    src.append(_fmt_array("EMPC_F", np.stack(Fs), "c_float"))
+    src.append(_fmt_array("EMPC_G", np.stack(gs), "c_float"))
+    if mpc is not None and mpc.settings.reference_condensation:
+        src.append(_fmt_array("MPC_TRAJ2SETPOINT", mpc.traj2setpoint, "c_float"))
+    src.append(_C_PARAMETER)
+    src.append(_C_EXPLICIT)
+
+    with open(os.path.join(dir, f"{fname}.h"), "w") as fh:
+        fh.write("\n".join(hdr) + "\n")
+    cpath = os.path.join(dir, f"{fname}.c")
+    with open(cpath, "w") as fc:
+        fc.write("\n".join(src) + "\n")
+    return cpath

@@ -121,3 +121,79 @@ def test_export_compiled_roundtrip(tmp_path):
     U, iters, status = fn(thetas)
     assert np.all(np.asarray(status) == 1)
     assert abs(np.asarray(U)[0, 0] - GOLDEN_U) < 1e-6
+
+
+@needs_gcc
+def test_codegen_explicit(tmp_path):
+    """Explicit-MPC generated C matches the Python evaluator and the golden
+    value (reference test/runtests.jl:184-196)."""
+    from linearmpc_tpu.explicit import build_explicit
+    from linearmpc_tpu.codegen import codegen_c_explicit
+
+    mpc, rng_box = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng_box)
+    cpath = codegen_c_explicit(empc, str(tmp_path))
+    so = f"{tmp_path}/empc.so"
+    subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, cpath, "-lm"], check=True)
+    lib = ctypes.CDLL(so)
+    u = _cc(lib, [5.0, 5.0, 0.0, 0.0], [0.0, 0.0])
+    assert abs(u[0] - GOLDEN_U) < 1e-6
+
+    rng = np.random.default_rng(12)
+    for _ in range(20):
+        x = rng.uniform(-10, 10, 4)
+        r = rng.uniform(-10, 10, 2)
+        theta = mpc.form_parameter(x, r=r, uprev=[0.0])
+        u_py = empc.evaluate(theta)
+        if u_py is None:
+            continue
+        u_c = _cc(lib, x, r)
+        assert abs(u_py[0] - u_c[0]) < 1e-8
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from linearmpc_tpu.checkpoint import load_problem, save_problem
+
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    path = str(tmp_path / "invpend_problem.npz")
+    save_problem(mpc, path)
+    qp, ldp, meta, K, engine = load_problem(path)
+    theta = mpc.form_parameter([5.0, 5.0, 0.0, 0.0], uprev=[0.0])
+    U, fval, flag, _ = engine.solve(theta)
+    assert flag == 1
+    assert abs(U[0] - K @ theta[:4] - GOLDEN_U) < 1e-6
+
+
+def test_explicit_checkpoint_roundtrip(tmp_path):
+    from linearmpc_tpu.checkpoint import load_explicit, save_explicit
+    from linearmpc_tpu.explicit import build_explicit
+
+    mpc, rng_box = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng_box)
+    path = str(tmp_path / "empc.npz")
+    save_explicit(empc, path)
+    empc2 = load_explicit(path)
+    theta = mpc.form_parameter([5.0, 5.0, 0.0, 0.0], uprev=[0.0])
+    u = empc2.evaluate(theta)
+    assert u is not None and abs(u[0] - GOLDEN_U) < 1e-6
+
+
+def test_profiling_instrument():
+    from linearmpc_tpu.profiling import instrument
+
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    stats = instrument(mpc.engine)
+    rng = np.random.default_rng(0)
+    thetas = np.hstack([
+        rng.uniform(-10, 10, (64, 4)), rng.uniform(-10, 10, (64, 2)),
+        rng.uniform(-2, 2, (64, 1)),
+    ])
+    mpc.engine.solve_batch(thetas)
+    mpc.engine.solve_batch(thetas)
+    assert stats.n_calls == 2 and stats.n_solves == 128
+    s = stats.summary()
+    assert s["converged_frac"] == 1.0 and s["solves_per_s"] > 0
