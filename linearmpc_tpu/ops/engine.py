@@ -148,7 +148,8 @@ class SolverEngine:
 
             nb = int(np.sum(ldp.is_binary))
             stack_cap = max(2 * nb + 2, 4)
-            bnb_kw = dict(stack_cap=stack_cap, node_limit=self.bnb_node_limit, **kw)
+            bnb_kw = {k: v for k, v in kw.items() if k != "bulk_unroll"}
+            bnb_kw.update(stack_cap=stack_cap, node_limit=self.bnb_node_limit)
 
             def _bnb(arrays, hi, theta):
                 sol = solve_bnb_single(arrays, theta, **bnb_kw)
