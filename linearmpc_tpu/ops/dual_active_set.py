@@ -100,7 +100,13 @@ def cold_state(m: int) -> tuple[jax.Array, jax.Array, jax.Array]:
 def _masked_solve(Gmask, rhs, use_cholesky: bool):
     """Solve the masked working-set system. Cholesky for symmetric problems
     (the masked matrix is SPD: active principal block + identity elsewhere);
-    LU for the non-symmetric AVI (game MPC) case."""
+    LU for the non-symmetric AVI (game MPC) case. A dtype-scaled ridge keeps
+    degenerate working sets (linearly dependent active rows) finite; the
+    perturbation is below the convergence tolerances and the final f64
+    polish solves the converged set exactly."""
+    eps = jnp.finfo(Gmask.dtype).eps
+    m = Gmask.shape[0]
+    Gmask = Gmask + (100.0 * m * eps) * jnp.eye(m, dtype=Gmask.dtype)
     if use_cholesky:
         from jax.scipy.linalg import solve_triangular
 

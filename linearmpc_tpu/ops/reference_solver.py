@@ -40,7 +40,13 @@ def solve_ldp_numpy(
         W = np.asarray(work, dtype=int)
         if len(W):
             d_W = np.where([sides[i] for i in W], du[W], dl[W])
-            lam_W = np.linalg.solve(G[np.ix_(W, W)], -d_W)
+            GWW = G[np.ix_(W, W)]
+            try:
+                lam_W = np.linalg.solve(GWW, -d_W)
+            except np.linalg.LinAlgError:
+                # degenerate working set: minimum-norm iterate, like the
+                # batched kernel's pinv subset entries
+                lam_W = np.linalg.lstsq(GWW, -d_W, rcond=None)[0]
         else:
             lam_W = np.zeros(0)
 
