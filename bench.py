@@ -40,8 +40,8 @@ def main():
     log(f"mpQP: n={engine.ldp.n} m={engine.ldp.m} nth={engine.ldp.n_theta} dtype={engine.dtype.__name__} polish={engine.polish}")
 
     rng = np.random.default_rng(1234)
-    B = 8192
-    K = 16
+    B = 32768 if on_tpu else 8192
+    K = 8
 
     def sample(B):
         return np.hstack([

@@ -90,22 +90,25 @@ class SolverEngine:
         self._single = jax.jit(_single)
         self._batched = jax.jit(_batched)
 
-        # fused Pallas bulk phase: gather/solve/scan fused into one kernel,
-        # lane-major tiles of 128. EXPERIMENTAL: opt-in via
-        # LINEARMPC_TPU_PALLAS=1 until the Mosaic lowering issues are
-        # resolved (see CLAUDE.md); the XLA path already exceeds the
-        # throughput target.
+        # fused Pallas bulk phase: each solver iteration is ONE gridless
+        # kernel over the lane-major batch, looped by lax.scan outside
+        # (~45x fewer dispatches than the op-granular XLA path). Default on
+        # for f32 TPU paths with a subset cache; opt out with
+        # LINEARMPC_TPU_PALLAS=0.
         import os as _os
 
+        from .pallas_solver import PALLAS_MAX_M
+
         self.use_pallas = (
-            _os.environ.get("LINEARMPC_TPU_PALLAS", "0") == "1"
+            _os.environ.get("LINEARMPC_TPU_PALLAS", "1") != "0"
             and self.dtype == jnp.float32
             and subset_inv is not None
+            and ldp.m <= PALLAS_MAX_M
             and not self.has_binaries
             and jax.default_backend() not in ("cpu",)
         )
         if self.use_pallas:
-            from .dual_active_set import finish_from_state
+            from .dual_active_set import Solution, finish_from_state, polish_solution
             from .pallas_solver import phase1_pallas
 
             m = ldp.m
@@ -116,7 +119,23 @@ class SolverEngine:
             dl32 = jnp.asarray(ldp.dl, jnp.float32)
             eqf = jnp.asarray(ldp.is_eq, jnp.float32)
             immutf = jnp.asarray(ldp.is_immutable, jnp.float32)
-            bulk_cap = min(self.iter_limit, 2 * m + 16)
+            bulk_cap = min(self.iter_limit, 2 * m + 36)
+            STRAGGLER_K = 256  # lanes routed through the full f64 continuation
+
+            def _kkt_badness(hi, theta, sol_lam, sol_act, sol_side):
+                """f64 KKT residual of a polished lane: primal violation of
+                inactive rows + multiplier sign violation of active rows."""
+                du_hi = hi.du + hi.Dth @ theta
+                dl_hi = hi.dl + hi.Dth @ theta
+                c = hi.G @ sol_lam
+                v_up = jnp.where(~sol_act & ~hi.is_immutable, -(du_hi + c), -jnp.inf)
+                v_lo = jnp.where(~sol_act & ~hi.is_immutable, dl_hi + c, -jnp.inf)
+                primal = jnp.maximum(jnp.max(v_up), jnp.max(v_lo))
+                sign = jnp.max(jnp.where(
+                    sol_act & ~hi.is_eq,
+                    jnp.where(sol_side, -sol_lam, sol_lam), -jnp.inf,
+                ))
+                return jnp.maximum(primal, sign)
 
             def _pallas_batch(hi, thetas, lam0=None, act0=None, side0=None):
                 B = thetas.shape[0]
@@ -134,11 +153,44 @@ class SolverEngine:
                     m=m, n_subsets=2**m, max_iter=bulk_cap,
                     primal_tol=self.primal_tol, sign_tol=self.sign_tol,
                 )
-                return jax.vmap(
+                # tier 1: direct f64 solve of each lane's final working set
+                sol = jax.vmap(
+                    lambda th, a, s, it: polish_solution(
+                        hi, th, a, s, use_cholesky=self.symmetric, iters=it,
+                    )
+                )(thetas, act, side, iters)
+                # tier 2: route KKT-violating stragglers (marginal f32 sets,
+                # unconverged lanes) through the full f64 continuation --
+                # a fixed top-K gather keeps the expensive lockstep loop off
+                # the well-behaved 99%+ of lanes
+                bad = jax.vmap(lambda th, l, a, s: _kkt_badness(hi, th, l, a, s))(
+                    thetas, sol.lam, sol.active, sol.side
+                )
+                k = min(STRAGGLER_K, B)
+                bad_top, idx = jax.lax.top_k(bad, k)
+                fix = jax.vmap(
                     lambda th, l0, a0, s0, it0: finish_from_state(
                         hi, th, l0, a0, s0, it0, use_cholesky=self.symmetric,
+                        max_iter=self.iter_limit,
                     )
-                )(thetas, lam, act, side, iters)
+                )(thetas[idx], lam[idx], act[idx], side[idx], iters[idx])
+                needs_fix = bad_top > 1e-8
+                merge = lambda base, upd: base.at[idx].set(
+                    jnp.where(
+                        needs_fix.reshape((-1,) + (1,) * (upd.ndim - 1)), upd, base[idx]
+                    )
+                )
+                U = merge(sol.U, fix.U)
+                lam_f = merge(sol.lam, fix.lam)
+                act_f = merge(sol.active, fix.active)
+                side_f = merge(sol.side, fix.side)
+                fval = merge(sol.fval, fix.fval)
+                iters_f = merge(sol.iters, fix.iters)
+                # a lane is optimal iff its f64 KKT residual is clean,
+                # regardless of whether phase 1 hit its budget
+                status_base = jnp.where(bad <= 1e-8, jnp.int32(1), jnp.int32(-1))
+                status = merge(status_base, fix.status)
+                return Solution(U, lam_f, act_f, side_f, fval, iters_f, status)
 
             self._pallas_batched = jax.jit(_pallas_batch)
 
@@ -191,10 +243,23 @@ class SolverEngine:
         if self.has_binaries:
             return self._bnb_batched(self.arrays, self.arrays_hi, thetas)
         if self.use_pallas and self.arrays_hi is not None and thetas.shape[0] % 128 == 0:
-            if warm is None:
-                return self._pallas_batched(self.arrays_hi, thetas)
-            lam0, act0, side0 = warm
-            return self._pallas_batched(self.arrays_hi, thetas, lam0, act0, side0)
+            B = thetas.shape[0]
+            CHUNK = 32768  # VMEM bound for the gridless whole-batch kernel
+            if B <= CHUNK:
+                if warm is None:
+                    return self._pallas_batched(self.arrays_hi, thetas)
+                lam0, act0, side0 = warm
+                return self._pallas_batched(self.arrays_hi, thetas, lam0, act0, side0)
+            outs = []
+            for i in range(0, B, CHUNK):
+                sl = slice(i, min(i + CHUNK, B))
+                w = None if warm is None else tuple(a[sl] for a in warm)
+                if w is None:
+                    outs.append(self._pallas_batched(self.arrays_hi, thetas[sl]))
+                else:
+                    outs.append(self._pallas_batched(self.arrays_hi, thetas[sl], *w))
+            return Solution(*(jnp.concatenate([getattr(o, f) for o in outs])
+                              for f in Solution._fields))
         if warm is None:
             return self._batched(self.arrays, self.arrays_hi, thetas)
         lam0, act0, side0 = warm

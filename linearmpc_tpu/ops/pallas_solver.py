@@ -1,22 +1,30 @@
 """Fused Pallas TPU kernel for the bulk dual active-set phase.
 
-The XLA path dispatches ~30 small ops per solver iteration; at m ~ 5-12
-the batch spends its time in kernel-launch overhead, not compute. This
-kernel fuses the entire fixed-precision solve -- working-set-inverse
-gather, multiplier solve, blocking test, violation scan, and state update
--- into a single program over a tile of lanes resident in VMEM.
+The plain XLA path dispatches ~30 small ops per solver iteration; at
+m ~ 5-12 the batch spends its time in kernel-launch overhead, not compute.
+Here one *entire iteration* -- working-set-inverse gather, multiplier
+solve, blocking test, violation scan, state update -- is a single
+gridless Pallas kernel over the whole lane-major batch resident in VMEM,
+and the iteration loop is an XLA ``lax.scan`` *outside* the kernel:
+28 dispatches per solve instead of ~840 (~45x on the pendulum problem).
 
-Layout is lane-major: every per-lane vector lives as an (m, T) block with
-T = 128 lanes in the minor (lane) dimension, so
-  * the working-set inverse "gather" is a one-hot matmul
-    (m*m, 2^m) @ (2^m, T) on the MXU,
-  * the slack update G @ lam is an (m, m) @ (m, T) matmul,
+Layout is lane-major: every per-lane vector is an (m, B) block with the
+batch in the minor (lane) dimension, so
+  * the working-set inverse "gather" is a one-hot matmul on the MXU,
+  * the slack update G @ lam is an (m, m) @ (m, B) matmul,
   * reductions over the constraint dimension are sublane reductions.
 
-Only the subset-inverse (enumerated working sets, m <= 12) path is
-implemented; larger problems use the XLA masked-Cholesky path. The f64
-refinement phase stays in XLA (Mosaic has no f64) and typically runs a
-single verification iteration per lane.
+Mosaic-lowering constraints discovered on this stack (see CLAUDE.md):
+*gridded* pallas_calls and *in-kernel* lax loops fail to compile, hence
+the gridless whole-batch kernel with the loop outside. Index selection
+uses first-hit masks (no argmin/argmax index vectors), cumsum is a
+lower-triangular matmul, scalar literals are np.float32, and (1, B) rows
+are expanded through explicit ones-column matmuls.
+
+The one-hot table is (2^m, B); the path is gated to m <= PALLAS_MAX_M so
+it stays comfortably inside VMEM. Larger problems use the XLA
+masked-Cholesky path. The f64 refinement phase stays in XLA (Mosaic has
+no f64) and typically verifies convergence in one masked solve per lane.
 """
 
 from __future__ import annotations
@@ -30,29 +38,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+PALLAS_MAX_M = 7  # one-hot table is (2^m, B); 7 -> 128 rows
 
 
-def _phase1_kernel(
-    # inputs (VMEM refs)
-    subset_ref,   # (2^m * m, m) f32: subset_inv stacked row-blocks, transposed layout below
+def _iteration_kernel(
+    subset_ref,   # (m*m, 2^m) f32: subset_inv[s] flattened into column s
     G_ref,        # (m, m)
-    du_ref,       # (m, T)
-    dl_ref,       # (m, T)
+    du_ref,       # (m, B)
+    dl_ref,       # (m, B)
     eq_ref,       # (m, 1) f32
     immut_ref,    # (m, 1) f32
-    lam0_ref,     # (m, T)
-    act0_ref,     # (m, T) f32
-    side0_ref,    # (m, T) f32
-    # outputs
-    lam_out,      # (m, T)
-    act_out,      # (m, T) f32
-    side_out,     # (m, T) f32
-    iters_out,    # (m, T) f32 (row-broadcast)
-    done_out,     # (m, T) f32 (row-broadcast)
+    lam_ref, act_ref, side_ref, done_ref,   # state (m, B); done row-broadcast
+    lam_o, act_o, side_o, done_o,
     *,
     m: int,
     n_subsets: int,
-    max_iter: int,
+    B: int,
     primal_tol: float,
     sign_tol: float,
 ):
@@ -60,11 +61,14 @@ def _phase1_kernel(
     du = du_ref[:, :]
     dl = dl_ref[:, :]
     G = G_ref[:, :]
-    eq = eq_ref[:, :]          # (m,1)
+    eq = eq_ref[:, :]
     immut = immut_ref[:, :]
-    pow2 = jnp.exp2(jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(f32))
-    subset = subset_ref[:, :]  # (m*m, 2^m)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (n_subsets, 1), 0).astype(f32)
+    lam = lam_ref[:, :]
+    act = act_ref[:, :]
+    side = side_ref[:, :]
+    done = done_ref[:, :]
+    subset = subset_ref[:, :]
+
     big = np.float32(3.0e38)
     tiny = np.float32(1e-30)
     ptol = np.float32(primal_tol)
@@ -72,7 +76,14 @@ def _phase1_kernel(
     half = np.float32(0.5)
     one = np.float32(1.0)
     zero = np.float32(0.0)
-    # lower-triangular ones for first-hit selection (cumsum as a matmul)
+    pow2 = jnp.exp2(jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(f32))
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (n_subsets, B), 0).astype(f32)
+    ones_col = jnp.ones((m, 1), f32)
+    ones_sub = jnp.ones((n_subsets, 1), f32)
+
+    def expand(row):  # (1, B) -> (m, B) via explicit matmul
+        return jnp.dot(ones_col, row, preferred_element_type=f32)
+
     ltri = (
         jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
         >= jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
@@ -82,90 +93,63 @@ def _phase1_kernel(
         cs = jnp.dot(ltri, hit, preferred_element_type=f32)
         return hit * (cs <= 1.5).astype(f32)
 
-    def body(_k, state):
-        lam, act, side, it, done = state
-        # one-hot of the active-set bitmask -> (2^m, T)
-        mask_id = jnp.sum(act * pow2, axis=0, keepdims=True)       # (1, T)
-        onehot = (sub_iota == mask_id).astype(f32)                  # (2^m, T)
-        inv_flat = jnp.dot(subset, onehot, preferred_element_type=f32)  # (m*m, T)
+    # one-hot of the active-set bitmask over the subset-inverse table
+    mask_id = jnp.sum(act * pow2, axis=0, keepdims=True)            # (1, B)
+    mask_m = jnp.dot(ones_sub, mask_id, preferred_element_type=f32)
+    onehot = (sub_iota == mask_m).astype(f32)                       # (2^m, B)
+    inv_flat = jnp.dot(subset, onehot, preferred_element_type=f32)  # (m*m, B)
 
-        d_side = side * du + (one - side) * dl                      # (m, T)
-        rhs = -act * d_side
-        # lam_star_i = sum_j inv[i, j] * rhs_j  (small static loop over i)
-        lam_star = jnp.concatenate(
-            [
-                jnp.sum(inv_flat[i * m : (i + 1) * m, :] * rhs, axis=0, keepdims=True)
-                for i in range(m)
-            ],
-            axis=0,
-        )                                                           # (m, T)
-
-        removable = act * (one - eq)
-        viol_up = (side > half) & (lam_star < -stol)
-        viol_lo = (side <= half) & (lam_star > stol)
-        sign_viol = (removable > 0.5) & (viol_up | viol_lo)
-        sv_f = sign_viol.astype(f32)
-        has_viol = jnp.max(sv_f, axis=0, keepdims=True) > half       # (1, T)
-
-        # blocking step (index selection via first-hit masks: Mosaic-friendly,
-        # no 1-D index vectors)
-        denom = lam - lam_star
-        safe = jnp.where(jnp.abs(denom) > tiny, denom, tiny)
-        alpha_i = jnp.where(sign_viol, lam / safe, big)
-        alpha_min = jnp.min(alpha_i, axis=0, keepdims=True)         # (1, T)
-        is_jb = first_hit((alpha_i <= alpha_min).astype(f32))
-        alpha = jnp.clip(alpha_min, zero, one)
-        lam_B = (lam + alpha * (lam_star - lam)) * (one - is_jb)
-        act_B = act * (one - is_jb)
-
-        # acceptance step: add most violated row
-        c = jnp.dot(G, lam_star, preferred_element_type=f32)        # (m, T)
-        cand = (one - act) * (one - immut)
-        v_up = jnp.where(cand > half, -(du + c), -big)
-        v_lo = jnp.where(cand > half, dl + c, -big)
-        v = jnp.maximum(v_up, v_lo)
-        vmax = jnp.max(v, axis=0, keepdims=True)                    # (1, T)
-        converged = vmax <= ptol
-        is_j = first_hit((v >= vmax).astype(f32))
-        grow = is_j * (one - converged.astype(f32))
-        act_A = jnp.maximum(act, grow)
-        add_up = jnp.sum(is_j * (v_up >= v_lo).astype(f32), axis=0, keepdims=True)
-        side_A = side * (one - grow) + grow * add_up
-        lam_A = lam_star * act_A
-
-        hv = has_viol.astype(f32)
-        new_lam = hv * lam_B + (one - hv) * lam_A
-        new_act = hv * act_B + (one - hv) * act_A
-        new_side = hv * side + (one - hv) * side_A
-        new_done = done + (one - done) * (one - hv) * converged.astype(f32)
-
-        nd = done  # freeze lanes that were already done
-        lam = nd * lam + (one - nd) * new_lam
-        act = nd * act + (one - nd) * new_act
-        side = nd * side + (one - nd) * new_side
-        it = it + (one - done)
-        return (lam, act, side, it, new_done)
-
-    # derive the (1, T) zeros from loaded data so their layout matches the
-    # loop-carried values (a splat constant is fully replicated and Mosaic
-    # cannot relayout it back from the row layout produced in the body)
-    zero_row = du[0:1, :] * np.float32(0.0)
-    init = (
-        lam0_ref[:, :],
-        act0_ref[:, :],
-        side0_ref[:, :],
-        zero_row,
-        zero_row,
+    d_side = side * du + (one - side) * dl
+    rhs = -act * d_side
+    lam_star = jnp.concatenate(
+        [
+            jnp.sum(inv_flat[i * m : (i + 1) * m, :] * rhs, axis=0, keepdims=True)
+            for i in range(m)
+        ],
+        axis=0,
     )
-    # fixed trip count: Mosaic layouts dislike scalar-reduced while conds,
-    # and a fused masked iteration is cheap enough to run the full budget
-    lam, act, side, it, done = jax.lax.fori_loop(0, max_iter, body, init)
-    lam_out[:, :] = lam
-    act_out[:, :] = act
-    side_out[:, :] = side
-    ones_col = jnp.ones((m, 1), jnp.float32)
-    iters_out[:, :] = jnp.dot(ones_col, it, preferred_element_type=jnp.float32)
-    done_out[:, :] = jnp.dot(ones_col, done, preferred_element_type=jnp.float32)
+
+    removable = act * (one - eq)
+    viol_up = (side > half) & (lam_star < -stol)
+    viol_lo = (side <= half) & (lam_star > stol)
+    sign_viol = (removable > half) & (viol_up | viol_lo)
+    sv_f = sign_viol.astype(f32)
+    hv = expand(jnp.max(sv_f, axis=0, keepdims=True))
+
+    # blocking step: first multiplier to cross zero leaves the working set
+    denom = lam - lam_star
+    safe = jnp.where(jnp.abs(denom) > tiny, denom, tiny)
+    alpha_i = jnp.where(sign_viol, lam / safe, big)
+    alpha_min = jnp.min(alpha_i, axis=0, keepdims=True)
+    is_jb = first_hit((alpha_i <= alpha_min).astype(f32))
+    alpha = expand(jnp.clip(alpha_min, zero, one))
+    lam_B = (lam + alpha * (lam_star - lam)) * (one - is_jb)
+    act_B = act * (one - is_jb)
+
+    # acceptance step: add the most violated inactive row
+    c = jnp.dot(G, lam_star, preferred_element_type=f32)
+    cand = (one - act) * (one - immut)
+    v_up = jnp.where(cand > half, -(du + c), -big)
+    v_lo = jnp.where(cand > half, dl + c, -big)
+    v = jnp.maximum(v_up, v_lo)
+    vmax = jnp.max(v, axis=0, keepdims=True)
+    conv = expand((vmax <= ptol).astype(f32))
+    is_j = first_hit((v >= vmax).astype(f32))
+    grow = is_j * (one - conv)
+    act_A = jnp.maximum(act, grow)
+    add_up = expand(jnp.sum(is_j * (v_up >= v_lo).astype(f32), axis=0, keepdims=True))
+    side_A = side * (one - grow) + grow * add_up
+    lam_A = lam_star * act_A
+
+    new_lam = hv * lam_B + (one - hv) * lam_A
+    new_act = hv * act_B + (one - hv) * act_A
+    new_side = hv * side + (one - hv) * side_A
+    new_done = done + (one - done) * (one - hv) * conv
+
+    lam_o[:, :] = done * lam + (one - done) * new_lam
+    act_o[:, :] = done * act + (one - done) * new_act
+    side_o[:, :] = done * side + (one - done) * new_side
+    done_o[:, :] = new_done
 
 
 @functools.partial(
@@ -190,50 +174,45 @@ def phase1_pallas(
     sign_tol: float,
     interpret: bool = False,
 ):
-    """Run the fused bulk phase; returns (lam, act, side, iters, done) batch-major."""
+    """Run the fused bulk phase; returns (lam, act, side, iters, done)
+    batch-major. B must be a multiple of 128 (lane width)."""
     B = du_t.shape[0]
     assert B % LANES == 0, "batch must be a multiple of 128"
-    grid = B // LANES
 
-    # batch-major (B, m) -> lane-major tiles (m, B) sliced along lanes
     to_lane = lambda a: jnp.asarray(a, jnp.float32).T
     du_l, dl_l = to_lane(du_t), to_lane(dl_t)
     lam_l, act_l, side_l = to_lane(lam0), to_lane(act0), to_lane(side0)
+    subset_flat = jnp.asarray(subset_flat, jnp.float32)
+    G = jnp.asarray(G, jnp.float32)
+    eq_c = jnp.asarray(eq, jnp.float32).reshape(m, 1)
+    immut_c = jnp.asarray(immut, jnp.float32).reshape(m, 1)
 
     kernel = functools.partial(
-        _phase1_kernel, m=m, n_subsets=n_subsets, max_iter=max_iter,
+        _iteration_kernel, m=m, n_subsets=n_subsets, B=B,
         primal_tol=primal_tol, sign_tol=sign_tol,
     )
-    tile = lambda r: pl.BlockSpec((m, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-
-    out_shape = [
-        jax.ShapeDtypeStruct((m, B), jnp.float32),
-        jax.ShapeDtypeStruct((m, B), jnp.float32),
-        jax.ShapeDtypeStruct((m, B), jnp.float32),
-        jax.ShapeDtypeStruct((m, B), jnp.float32),
-        jax.ShapeDtypeStruct((m, B), jnp.float32),
-    ]
-    out_specs = [tile(None)] * 5
-    lam, act, side, iters, done = pl.pallas_call(
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
         kernel,
-        grid=(grid,),
-        in_specs=[
-            rep((m * m, n_subsets)),
-            rep((m, m)),
-            tile(None), tile(None),
-            rep((m, 1)), rep((m, 1)),
-            tile(None), tile(None), tile(None),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
+        in_specs=[vm()] * 10,
+        out_specs=[vm()] * 4,
+        out_shape=[jax.ShapeDtypeStruct((m, B), jnp.float32)] * 4,
         interpret=interpret,
-    )(
-        jnp.asarray(subset_flat, jnp.float32),
-        jnp.asarray(G, jnp.float32),
-        du_l, dl_l,
-        jnp.asarray(eq, jnp.float32).reshape(m, 1),
-        jnp.asarray(immut, jnp.float32).reshape(m, 1),
-        lam_l, act_l, side_l,
     )
-    return lam.T, act.T > 0.5, side.T > 0.5, iters[0].astype(jnp.int32), done[0] > 0.5
+
+    done0 = jnp.zeros((m, B), jnp.float32)
+
+    def step(carry, _):
+        lam, act, side, done = carry
+        prev_done = done
+        lam, act, side, done = call(
+            subset_flat, G, du_l, dl_l, eq_c, immut_c, lam, act, side, done
+        )
+        # iteration counting: a lane iterated iff it was not already done
+        return (lam, act, side, done), 1.0 - prev_done[0]
+
+    (lam, act, side, done), active_steps = jax.lax.scan(
+        step, (lam_l, act_l, side_l, done0), None, length=max_iter
+    )
+    iters = jnp.sum(active_steps, axis=0)
+    return lam.T, act.T > 0.5, side.T > 0.5, iters.astype(jnp.int32), done[0] > 0.5
