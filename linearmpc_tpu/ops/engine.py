@@ -243,8 +243,11 @@ class SolverEngine:
         if self.has_binaries:
             return self._bnb_batched(self.arrays, self.arrays_hi, thetas)
         if self.use_pallas and self.arrays_hi is not None and thetas.shape[0] % 128 == 0:
+            from .pallas_solver import max_chunk_lanes
+
             B = thetas.shape[0]
-            CHUNK = 32768  # VMEM bound for the gridless whole-batch kernel
+            # VMEM bound for the gridless whole-batch kernel
+            CHUNK = min(32768, max_chunk_lanes(self.ldp.m))
             if B <= CHUNK:
                 if warm is None:
                     return self._pallas_batched(self.arrays_hi, thetas)

@@ -38,7 +38,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-PALLAS_MAX_M = 7  # one-hot table is (2^m, B); 7 -> 128 rows
+PALLAS_MAX_M = 10  # one-hot table is (2^m, B_chunk); chunking bounds VMEM
+
+
+def max_chunk_lanes(m: int, vmem_budget_bytes: int = 10 * 2**20) -> int:
+    """Largest lane chunk whose kernel working set fits the VMEM budget:
+    roughly (2^m + ~14 m) f32 per lane plus the (m*m, 2^m) table."""
+    per_lane = (2**m + 14 * m) * 4
+    table = (m * m) * (2**m) * 4
+    lanes = (vmem_budget_bytes - table) // per_lane
+    return max(LANES, (lanes // LANES) * LANES)
 
 
 def _iteration_kernel(

@@ -215,3 +215,45 @@ def test_rollout_generalized_parameters():
 
     sim = lmpc.simulate_kw(build(), x0=[1.0, 0.0], N=N, r=np.zeros((2, N)), p=p_traj)
     assert np.max(np.abs(np.asarray(res.us)[0].T - sim.us)) < 1e-8
+
+
+def test_pallas_kernel_interpret_m8():
+    """Fused kernel at m=8 (dcmotor-sized working-set cache) agrees with
+    the XLA phase-1 path in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from linearmpc_tpu.mpc import MPC as _MPC
+    from linearmpc_tpu.ops import dual_active_set as das
+    from linearmpc_tpu.ops.pallas_solver import phase1_pallas
+
+    mpc, _ = lmpc.mpc_examples("invpend", 50, 8)  # m = 8 bound rows
+    mpc.setup(dtype=jnp.float32)
+    eng = mpc.engine
+    ldp = eng.ldp
+    m = ldp.m
+    assert m == 8 and eng._subset_inv is not None
+    rng = np.random.default_rng(0)
+    B = 128
+    thetas = np.hstack([
+        rng.uniform(-20, 20, (B, 4)), rng.uniform(-20, 20, (B, 2)),
+        rng.uniform(-2, 2, (B, 1)),
+    ]).astype(np.float32)
+    du_t = (ldp.du + thetas @ ldp.Dth.T).astype(np.float32)
+    dl_t = (ldp.dl + thetas @ ldp.Dth.T).astype(np.float32)
+    subset_flat = eng._subset_inv.reshape(2**m, m * m).T
+    lam0 = np.zeros((B, m))
+    act0 = np.tile(ldp.is_eq.astype(float), (B, 1))
+    side0 = np.ones((B, m))
+    lam, act, side, iters, done = phase1_pallas(
+        subset_flat, ldp.G, du_t, dl_t, ldp.is_eq.astype(float),
+        ldp.is_immutable.astype(float), lam0, act0, side0,
+        m=m, n_subsets=2**m, max_iter=52, primal_tol=2e-5, sign_tol=1e-6,
+        interpret=True,
+    )
+    assert np.mean(np.asarray(done)) > 0.99
+    sol = jax.vmap(
+        lambda th: das.solve_single(eng.arrays, th, max_iter=52, primal_tol=2e-5, sign_tol=1e-6)
+    )(jnp.asarray(thetas))
+    agree = np.mean(np.all(np.asarray(act) == np.asarray(sol.active), axis=1))
+    assert agree > 0.98
