@@ -168,10 +168,13 @@ class SolverEngine:
                 )
                 k = min(STRAGGLER_K, B)
                 bad_top, idx = jax.lax.top_k(bad, k)
+                # stragglers sit at most a few working-set changes from
+                # optimal after the long bulk phase; a tight budget keeps the
+                # lockstep f64 loop short (unconverged lanes report status -1)
                 fix = jax.vmap(
                     lambda th, l0, a0, s0, it0: finish_from_state(
                         hi, th, l0, a0, s0, it0, use_cholesky=self.symmetric,
-                        max_iter=self.iter_limit,
+                        max_iter=24,
                     )
                 )(thetas[idx], lam[idx], act[idx], side[idx], iters[idx])
                 needs_fix = bad_top > 1e-8
