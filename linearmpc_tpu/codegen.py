@@ -263,8 +263,8 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
         mpc.setup()
     if mpc.settings.disturbance_preview and mpc.state_observer is not None:
         raise ValueError("Code generation not supported for disturbance preview with a state observer.")
-    if mpc.settings.reference_preview and not mpc.settings.reference_condensation:
-        raise NotImplementedError("C generation supports reference preview only with reference_condensation")
+    # full (uncondensed) reference preview needs no special handling: the
+    # reference part of theta is simply ny*Np entries copied verbatim
     if mpc.mpQP.has_binaries:
         raise NotImplementedError("C generation for hybrid (binary) problems not yet supported")
 

@@ -197,3 +197,32 @@ def test_profiling_instrument():
     assert stats.n_calls == 2 and stats.n_solves == 128
     s = stats.summary()
     assert s["converged_frac"] == 1.0 and s["solves_per_s"] > 0
+
+
+@needs_gcc
+def test_codegen_reference_preview_full(tmp_path):
+    """C codegen with full (uncondensed) reference preview matches Python
+    (reference test/runtests.jl:627-668)."""
+    from linearmpc_tpu.mpc import MPC as _MPC
+
+    A = np.array([[1.0, 1], [0, 1]])
+    B = np.array([[0.0], [1]])
+    mpc = _MPC.from_discrete(A, B, C=np.eye(2), Np=5, Nc=3)
+    mpc.set_bounds(umin=[-2.0], umax=[2.0])
+    mpc.set_objective(Q=[1.0, 1.0], R=[0.1])
+    mpc.settings.reference_preview = True
+    mpc.setup()
+
+    r_traj = np.array([[0.0, 0.5, 1.0, 1.0, 1.0], [0.0, 0.0, 0.0, 0.0, 0.0]])
+    x = np.array([1.0, 0.0])
+    u_py = mpc.compute_control(x, r=r_traj)
+
+    cpath = lmpc.codegen_c(mpc, str(tmp_path))
+    so = f"{tmp_path}/t.so"
+    subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, cpath, "-lm"], check=True)
+    lib = ctypes.CDLL(so)
+    ct = ctypes.c_double
+    u = (ct * 1)()
+    r_flat = np.asarray(r_traj.T.ravel(), dtype=np.float64)  # column-major trajectory
+    lib.mpc_compute_control(u, (ct * 2)(*x), (ct * len(r_flat))(*r_flat), None)
+    assert abs(u[0] - u_py[0]) < 1e-8

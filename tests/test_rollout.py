@@ -257,3 +257,28 @@ def test_pallas_kernel_interpret_m8():
     )(jnp.asarray(thetas))
     agree = np.mean(np.all(np.asarray(act) == np.asarray(sol.active), axis=1))
     assert agree > 0.98
+
+
+def test_cold_vs_warm_start_equality():
+    """Warm-started solves must reproduce cold-start solutions exactly
+    (reference test/runtests.jl:85-117)."""
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    rng = np.random.default_rng(21)
+    B = 32
+    thetas = np.hstack([
+        rng.uniform(-10, 10, (B, 4)), rng.uniform(-10, 10, (B, 2)),
+        rng.uniform(-2, 2, (B, 1)),
+    ])
+    cold = mpc.engine.solve_batch(thetas)
+    # perturb the parameters slightly and warm start from the cold solution
+    thetas2 = thetas + rng.uniform(-0.05, 0.05, thetas.shape)
+    import jax.numpy as jnp
+
+    warm = (jnp.asarray(cold.lam), jnp.asarray(cold.active), jnp.asarray(cold.side))
+    sol_warm = mpc.engine.solve_batch(thetas2, warm=warm)
+    sol_cold = mpc.engine.solve_batch(thetas2)
+    assert np.all(np.asarray(sol_warm.status) == 1)
+    assert np.max(np.abs(np.asarray(sol_warm.U) - np.asarray(sol_cold.U))) < 1e-9
+    # warm starts near the solution should need fewer iterations
+    assert np.mean(np.asarray(sol_warm.iters)) <= np.mean(np.asarray(sol_cold.iters))
