@@ -64,7 +64,6 @@ def eliminate(A, b, elim: list[int], *, prune_every: bool = True, tol: float = 1
     {z: Az <= b}; returns the projection onto the remaining coordinates."""
     A = np.asarray(A, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64).ravel()
-    cols = list(range(A.shape[1]))
     for e in sorted(elim, reverse=True):
         c = A[:, e]
         pos = np.where(c > tol)[0]
