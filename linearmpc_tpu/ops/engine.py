@@ -109,7 +109,14 @@ class SolverEngine:
         )
         if self.use_pallas:
             from .dual_active_set import Solution, finish_from_state, polish_solution
+            from .ds_polish import make_dsldp, polish_batch_ds
             from .pallas_solver import phase1_pallas
+
+            # tier-1 finishing in double-single f32 (native-rate VPU ops)
+            # instead of emulated f64; LINEARMPC_TPU_DS=0 restores the f64
+            # tier for debugging
+            self.use_ds_polish = _os.environ.get("LINEARMPC_TPU_DS", "1") != "0"
+            dsl = make_dsldp(ldp, subset_inv) if self.use_ds_polish else None
 
             m = ldp.m
             subset_flat = jnp.asarray(subset_inv.reshape(2**m, m * m).T, jnp.float32)
@@ -153,19 +160,31 @@ class SolverEngine:
                     m=m, n_subsets=2**m, max_iter=bulk_cap,
                     primal_tol=self.primal_tol, sign_tol=self.sign_tol,
                 )
-                # tier 1: direct f64 solve of each lane's final working set
-                sol = jax.vmap(
-                    lambda th, a, s, it: polish_solution(
-                        hi, th, a, s, use_cholesky=self.symmetric, iters=it,
+                # tier 1: direct re-solve of each lane's final working set.
+                # Double-single f32 (native VPU rate) by default; emulated
+                # f64 when LINEARMPC_TPU_DS=0.
+                if dsl is not None:
+                    U_ds, lam_ds, fval_ds, bad = polish_batch_ds(
+                        dsl, thetas.astype(jnp.float64), act, side
                     )
-                )(thetas, act, side, iters)
+                    sol = Solution(
+                        U_ds.to_f64(), lam_ds.to_f64(), act, side,
+                        fval_ds.to_f64(), iters,
+                        jnp.zeros(thetas.shape[0], jnp.int32),
+                    )
+                else:
+                    sol = jax.vmap(
+                        lambda th, a, s, it: polish_solution(
+                            hi, th, a, s, use_cholesky=self.symmetric, iters=it,
+                        )
+                    )(thetas, act, side, iters)
+                    bad = jax.vmap(lambda th, l, a, s: _kkt_badness(hi, th, l, a, s))(
+                        thetas, sol.lam, sol.active, sol.side
+                    )
                 # tier 2: route KKT-violating stragglers (marginal f32 sets,
                 # unconverged lanes) through the full f64 continuation --
                 # a fixed top-K gather keeps the expensive lockstep loop off
                 # the well-behaved 99%+ of lanes
-                bad = jax.vmap(lambda th, l, a, s: _kkt_badness(hi, th, l, a, s))(
-                    thetas, sol.lam, sol.active, sol.side
-                )
                 k = min(STRAGGLER_K, B)
                 bad_top, idx = jax.lax.top_k(bad, k)
                 # stragglers sit at most a few working-set changes from

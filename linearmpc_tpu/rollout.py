@@ -11,8 +11,10 @@ src/codegen.jl:167-169).
 
 Supports the full parameter layout theta = [x; r; d; u_prev; p] including
 reference/disturbance/parameter preview (sliding hold-last windows sliced
-per step with ``dynamic_slice``) and reference condensation. Offset-free
-observers fall back to the host loop (simulation.py).
+per step with ``dynamic_slice``), reference condensation, and offset-free
+observers (the augmented estimator state rides in the scan carry; its
+estimated disturbance channels are merged into theta exactly like
+``get_control_disturbance``, reference src/observer.jl:203-225).
 """
 
 from __future__ import annotations
@@ -50,7 +52,7 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
     Returns ``rollout(x0s, rs, ds, ps=None, N=100) -> RolloutResult``:
       * ``x0s``: (B, nx) initial states
       * ``rs``:  (B, ny) constant reference per lane or (B, T, ny) trajectory
-      * ``ds``:  (B, T, nd) measured disturbances (or None)
+      * ``ds``:  (B, T, nd_measured) measured disturbances (or None)
       * ``ps``:  (B, np_base) constant or (B, T, np_base) trajectory (or None)
     ``N`` is static (baked into the scan length at first call).
 
@@ -77,24 +79,30 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
     d_preview = mpc.settings.disturbance_preview and nd > 0
     p_preview = mpc.settings.parameter_preview and np_ > 0
 
+    obs = mpc.state_observer
+    has_obs = obs is not None if use_observer is None else bool(use_observer)
+    offset_free = has_obs and hasattr(obs, "estimator")
+    # offset-free: the simulated world (plant, measurement, ds input) sees
+    # only the measured disturbance channels; the estimated channels come
+    # from the augmented observer state (reference src/simulation.jl:87,
+    # src/observer.jl:203-225)
+    ndo = obs.nd_offsetfree if offset_free else 0
+    nd_sim = obs.nd_measured if offset_free else nd_model
+
     c = lambda a: jnp.asarray(np.asarray(a, dtype=np.float64), dtype=dtype)
     if plant is None:
         Fp, Gp, fp = c(model.F), c(model.G), c(model.f_offset)
     else:
         Fp, Gp, fp = (c(a) for a in plant)
-    Gd = c(model.Gd)
-    C = c(model.C)
-    Dd = c(model.Dd)
-    h_off = c(model.h_offset)
+    Gd = c(model.Gd[:, :nd_sim])
+    C = c(obs.C) if offset_free else c(model.C)
+    Dd = c(obs.Dd) if offset_free else c(model.Dd)
+    h_off = c(obs.h_offset) if offset_free else c(model.h_offset)
     K = c(mpc.K)
     T2S = c(mpc.traj2setpoint) if r_condense else None
 
-    obs = mpc.state_observer
-    has_obs = obs is not None if use_observer is None else bool(use_observer)
-    if has_obs and hasattr(obs, "estimator"):
-        raise NotImplementedError("offset-free observers use the host simulation loop")
     if has_obs:
-        est = obs
+        est = obs.estimator if offset_free else obs
         oF, oG, oGd = c(est.F), c(est.G), c(est.Gd)
         oC, oDd, oh = c(est.C), c(est.Dd), c(est.h_offset)
         of = c(est.f_offset)
@@ -118,13 +126,13 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
             rs = _pad_traj_time(rs, T_need)
         else:
             rs = jnp.zeros((B, T_need, ny), dtype)
-        if nd_model and ds is not None:
+        if nd_sim and ds is not None:
             ds = jnp.asarray(ds, dtype)
             if ds.ndim == 2:
                 ds = ds[:, None, :]
             ds = _pad_traj_time(ds, T_need)
         else:
-            ds = jnp.zeros((B, T_need, nd_model), dtype)
+            ds = jnp.zeros((B, T_need, nd_sim), dtype)
         if np_ and ps is not None:
             ps = jnp.asarray(ps, dtype)
             if ps.ndim == 2:
@@ -134,40 +142,46 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
             ps = jnp.zeros((B, T_need, max(np_base, 1)), dtype)
 
         def window(traj, k0, width):
-            w = jax.lax.dynamic_slice_in_dim(traj, k0, width, axis=1)
-            return w.reshape(B, -1)  # time-major blocks, matching vec()
+            # time-major (B, width, n) blocks; callers flatten to match vec()
+            return jax.lax.dynamic_slice_in_dim(traj, k0, width, axis=1)
 
         def step(carry, _):
             x, xo, uprev, lam, act, side, kk = carry
             d_k = jax.lax.dynamic_slice_in_dim(ds, kk, 1, axis=1)[:, 0, :]
 
-            y_m = x @ C.T + h_off + (d_k @ Dd.T if nd_model else 0.0)
+            y_m = x @ C.T + h_off + (d_k @ Dd.T if nd_sim else 0.0)
 
             if has_obs:
-                inov = y_m - xo @ oC.T - oh - (d_k @ oDd.T if nd_model else 0.0)
+                inov = y_m - xo @ oC.T - oh - (d_k @ oDd.T if nd_sim else 0.0)
                 xo = xo + inov @ oK.T
                 xhat = xo[:, :nx]
             else:
                 xhat = x
+            d_est = xo[:, nx : nx + ndo] if offset_free else None
 
             parts = [xhat]
             if nr:
                 if r_preview:
                     # reference window: steps k+1 .. k+Np (hold-last)
-                    r_flat = window(rs, kk + 1, Np)
+                    r_flat = window(rs, kk + 1, Np).reshape(B, -1)
                     parts.append(r_flat @ T2S.T if r_condense else r_flat)
                 else:
                     parts.append(jax.lax.dynamic_slice_in_dim(rs, kk, 1, axis=1)[:, 0, :])
             if nd:
                 if d_preview:
-                    parts.append(window(ds, kk, Np))
+                    w = window(ds, kk, Np)
+                    if ndo:
+                        w = jnp.concatenate(
+                            [w, jnp.broadcast_to(d_est[:, None, :], (B, Np, ndo))], axis=2
+                        )
+                    parts.append(w.reshape(B, -1))
                 else:
-                    parts.append(d_k)
+                    parts.append(jnp.concatenate([d_k, d_est], axis=1) if ndo else d_k)
             if nuprev:
                 parts.append(uprev[:, :nuprev])
             if np_:
                 if p_preview:
-                    parts.append(window(ps, kk, Np))
+                    parts.append(window(ps, kk, Np).reshape(B, -1))
                 else:
                     parts.append(jax.lax.dynamic_slice_in_dim(ps, kk, 1, axis=1)[:, 0, :])
             theta = jnp.concatenate(parts, axis=1)
@@ -178,9 +192,9 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
             u = sol.U[:, :nu].astype(dtype) - xhat @ K.T
 
             if has_obs:
-                xo = xo @ oF.T + u @ oG.T + of + (d_k @ oGd.T if nd_model else 0.0)
+                xo = xo @ oF.T + u @ oG.T + of + (d_k @ oGd.T if nd_sim else 0.0)
 
-            x_next = x @ Fp.T + u @ Gp.T + fp + (d_k @ Gd.T if nd_model else 0.0)
+            x_next = x @ Fp.T + u @ Gp.T + fp + (d_k @ Gd.T if nd_sim else 0.0)
             carry = (x_next, xo, u, sol.lam.astype(dtype), sol.active, sol.side, kk + 1)
             return carry, (x, u, y_m, sol.iters, sol.status)
 

@@ -282,3 +282,65 @@ def test_cold_vs_warm_start_equality():
     assert np.max(np.abs(np.asarray(sol_warm.U) - np.asarray(sol_cold.U))) < 1e-9
     # warm starts near the solution should need fewer iterations
     assert np.mean(np.asarray(sol_warm.iters)) <= np.mean(np.asarray(sol_cold.iters))
+
+
+def test_rollout_offset_free_observer_matches_host_loop():
+    """Offset-free observer inside the scan: the augmented estimator state
+    rides the carry and its estimated disturbance feeds theta
+    (reference src/observer.jl:203-225, src/simulation.jl:87)."""
+    F, G = np.array([[1.0, 0.1], [0, 1]]), np.array([[0.005], [0.1]])
+    C = np.array([[1.0, 0]])
+    f_plant = np.array([0.01, 0.0])
+
+    def build():
+        mpc = MPC.from_discrete(F, G, C=C, Ts=0.1, Np=20)
+        mpc.set_objective(Q=[1.0], R=[0.0], Rr=[0.1])
+        mpc.set_bounds(umin=[-1.0], umax=[1.0])
+        mpc.set_offset_free_observer(method="velocity", Q=[1e-3, 1e-3], R=[1e-4])
+        return mpc
+
+    N = 100
+    host = build()
+    sim = lmpc.simulate_kw(
+        host, x0=np.zeros(2), N=N, r=[0.5],
+        dynamics=lambda x, u, d: F @ x + G @ np.atleast_1d(u) + f_plant,
+    )
+
+    dev = build()
+    dev.setup()
+    rollout = build_rollout(dev, plant=(F, G, f_plant))
+    res = rollout(np.zeros((1, 2)), np.full((1, 1), 0.5), None, N=N)
+
+    assert np.max(np.abs(np.asarray(res.us)[0].T - sim.us)) < 1e-8
+    assert np.max(np.abs(np.asarray(res.xs)[0].T - sim.xs)) < 1e-7
+    assert abs(np.asarray(res.xs)[0, -1, 0] - 0.5) < 1e-3  # offset-free tracking
+
+
+def test_rollout_offset_free_with_measured_disturbance_matches_host_loop():
+    """Measured + estimated disturbance channels merged per step."""
+    F, G = np.array([[1.0, 0.1], [0, 1]]), np.array([[0.005], [0.1]])
+    C = np.array([[1.0, 0]])
+    Gd_m = np.array([[1.0], [0.0]])
+
+    def build():
+        mpc = MPC.from_discrete(F, G, C=C, Gd=Gd_m, Ts=0.1, Np=20)
+        mpc.set_objective(Q=[1.0], R=[0.0], Rr=[0.1])
+        mpc.set_bounds(umin=[-1.0], umax=[1.0])
+        mpc.set_offset_free_observer(method="velocity", Q=[1e-3, 1e-3], R=[1e-4])
+        return mpc
+
+    N = 80
+    d_const = 0.05
+    host = build()
+    sim = lmpc.simulate_kw(
+        host, x0=np.zeros(2), N=N, r=[0.3], d=[d_const],
+        dynamics=lambda x, u, d: F @ x + G @ np.atleast_1d(u) + Gd_m @ np.atleast_1d(d),
+    )
+
+    dev = build()
+    dev.setup()
+    rollout = build_rollout(dev)
+    res = rollout(np.zeros((1, 2)), np.full((1, 1), 0.3), np.full((1, 1), d_const), N=N)
+
+    assert np.max(np.abs(np.asarray(res.us)[0].T - sim.us)) < 1e-8
+    assert np.max(np.abs(np.asarray(res.xs)[0].T - sim.xs)) < 1e-7
