@@ -109,14 +109,14 @@ class SolverEngine:
         )
         if self.use_pallas:
             from .dual_active_set import Solution, finish_from_state, polish_solution
-            from .ds_polish import make_dsldp, polish_batch_ds
-            from .pallas_solver import phase1_pallas
+            from .pallas_polish import make_polish_data, polish_max_lanes, polish_pallas
+            from .pallas_solver import max_chunk_lanes, phase1_pallas
 
-            # tier-1 finishing in double-single f32 (native-rate VPU ops)
-            # instead of emulated f64; LINEARMPC_TPU_DS=0 restores the f64
-            # tier for debugging
+            # tier-1 finishing in double-single f32 (a second gridless Pallas
+            # kernel at native VPU rate) instead of emulated f64;
+            # LINEARMPC_TPU_DS=0 restores the f64 tier for debugging
             self.use_ds_polish = _os.environ.get("LINEARMPC_TPU_DS", "1") != "0"
-            dsl = make_dsldp(ldp, subset_inv) if self.use_ds_polish else None
+            pdata = make_polish_data(ldp, subset_inv) if self.use_ds_polish else None
 
             m = ldp.m
             subset_flat = jnp.asarray(subset_inv.reshape(2**m, m * m).T, jnp.float32)
@@ -126,8 +126,16 @@ class SolverEngine:
             dl32 = jnp.asarray(ldp.dl, jnp.float32)
             eqf = jnp.asarray(ldp.is_eq, jnp.float32)
             immutf = jnp.asarray(ldp.is_immutable, jnp.float32)
-            bulk_cap = min(self.iter_limit, 2 * m + 36)
+            # observed on the pendulum problem: with exact (HIGHEST) in-kernel
+            # gathers the f32 iteration stops cycling and converges in
+            # <= 2m iterations; the margin covers harder geometries and any
+            # leftovers route through the f64 straggler tier
+            bulk_cap = min(self.iter_limit, 2 * m + 20)
             STRAGGLER_K = 256  # lanes routed through the full f64 continuation
+            # independent VMEM-bounded chunk sizes for the two kernels (the
+            # polish kernel's working set per lane is larger)
+            P1_CHUNK = max_chunk_lanes(m)
+            PL_CHUNK = polish_max_lanes(m, ldp.n, ldp.n_theta)
 
             def _kkt_badness(hi, theta, sol_lam, sol_act, sol_side):
                 """f64 KKT residual of a polished lane: primal violation of
@@ -144,32 +152,51 @@ class SolverEngine:
                 ))
                 return jnp.maximum(primal, sign)
 
+            def _polish_flat(pd, th, a, s):
+                U, lam_p, fval, bad = polish_pallas(pd, th, a, s)
+                return U.hi, U.lo, lam_p.hi, lam_p.lo, fval.hi, fval.lo, bad
+
+            def _chunked(fn, B, chunk, *arrays):
+                """Apply fn over lane chunks (static Python loop inside the
+                trace); concatenates each output position."""
+                if B <= chunk:
+                    return fn(*arrays)
+                outs = [fn(*(a[i : min(i + chunk, B)] for a in arrays))
+                        for i in range(0, B, chunk)]
+                return tuple(jnp.concatenate([o[f] for o in outs]) for f in range(len(outs[0])))
+
             def _pallas_batch(hi, thetas, lam0=None, act0=None, side0=None):
                 B = thetas.shape[0]
-                th32 = thetas.astype(jnp.float32)
-                du_t = du32 + th32 @ Dth32.T
-                dl_t = dl32 + th32 @ Dth32.T
                 if lam0 is None:
                     lam0 = jnp.zeros((B, m), jnp.float32)
                     act0 = jnp.broadcast_to(eqf > 0.5, (B, m))
                     side0 = jnp.ones((B, m), bool)
-                lam, act, side, iters, done = phase1_pallas(
-                    subset_flat, G32, du_t, dl_t, eqf, immutf,
-                    lam0.astype(jnp.float32), act0.astype(jnp.float32),
-                    side0.astype(jnp.float32),
-                    m=m, n_subsets=2**m, max_iter=bulk_cap,
-                    primal_tol=self.primal_tol, sign_tol=self.sign_tol,
-                )
-                # tier 1: direct re-solve of each lane's final working set.
-                # Double-single f32 (native VPU rate) by default; emulated
-                # f64 when LINEARMPC_TPU_DS=0.
-                if dsl is not None:
-                    U_ds, lam_ds, fval_ds, bad = polish_batch_ds(
-                        dsl, thetas.astype(jnp.float64), act, side
+
+                def p1(th, l0, a0, s0):
+                    th32 = th.astype(jnp.float32)
+                    du_t = du32 + th32 @ Dth32.T
+                    dl_t = dl32 + th32 @ Dth32.T
+                    return phase1_pallas(
+                        subset_flat, G32, du_t, dl_t, eqf, immutf,
+                        l0.astype(jnp.float32), a0.astype(jnp.float32),
+                        s0.astype(jnp.float32),
+                        m=m, n_subsets=2**m, max_iter=bulk_cap,
+                        primal_tol=self.primal_tol, sign_tol=self.sign_tol,
                     )
+
+                lam, act, side, iters, done = _chunked(p1, B, P1_CHUNK, thetas, lam0, act0, side0)
+                # tier 1: direct re-solve of each lane's final working set.
+                # Double-single f32 in a fused lane-major Pallas kernel by
+                # default; emulated f64 when LINEARMPC_TPU_DS=0.
+                if pdata is not None:
+                    U_ds_hi, U_ds_lo, lam_ds_hi, lam_ds_lo, fval_hi, fval_lo, bad = _chunked(
+                        lambda th, a, s: _polish_flat(pdata, th, a, s),
+                        B, PL_CHUNK, thetas.astype(jnp.float64), act, side,
+                    )
+                    to64 = lambda h, l: h.astype(jnp.float64) + l.astype(jnp.float64)
                     sol = Solution(
-                        U_ds.to_f64(), lam_ds.to_f64(), act, side,
-                        fval_ds.to_f64(), iters,
+                        to64(U_ds_hi, U_ds_lo), to64(lam_ds_hi, lam_ds_lo), act, side,
+                        to64(fval_hi, fval_lo), iters,
                         jnp.zeros(thetas.shape[0], jnp.int32),
                     )
                 else:
@@ -265,26 +292,12 @@ class SolverEngine:
         if self.has_binaries:
             return self._bnb_batched(self.arrays, self.arrays_hi, thetas)
         if self.use_pallas and self.arrays_hi is not None and thetas.shape[0] % 128 == 0:
-            from .pallas_solver import max_chunk_lanes
-
-            B = thetas.shape[0]
-            # VMEM bound for the gridless whole-batch kernel
-            CHUNK = min(32768, max_chunk_lanes(self.ldp.m))
-            if B <= CHUNK:
-                if warm is None:
-                    return self._pallas_batched(self.arrays_hi, thetas)
-                lam0, act0, side0 = warm
-                return self._pallas_batched(self.arrays_hi, thetas, lam0, act0, side0)
-            outs = []
-            for i in range(0, B, CHUNK):
-                sl = slice(i, min(i + CHUNK, B))
-                w = None if warm is None else tuple(a[sl] for a in warm)
-                if w is None:
-                    outs.append(self._pallas_batched(self.arrays_hi, thetas[sl]))
-                else:
-                    outs.append(self._pallas_batched(self.arrays_hi, thetas[sl], *w))
-            return Solution(*(jnp.concatenate([getattr(o, f) for o in outs])
-                              for f in Solution._fields))
+            # VMEM-bounded chunking happens inside the jitted program (each
+            # kernel has its own lane bound); one dispatch per batch
+            if warm is None:
+                return self._pallas_batched(self.arrays_hi, thetas)
+            lam0, act0, side0 = warm
+            return self._pallas_batched(self.arrays_hi, thetas, lam0, act0, side0)
         if warm is None:
             return self._batched(self.arrays, self.arrays_hi, thetas)
         lam0, act0, side0 = warm

@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-PALLAS_MAX_M = 10  # one-hot table is (2^m, B_chunk); chunking bounds VMEM
+PALLAS_MAX_M = 10
+# In-kernel jnp.dot defaults to ONE bf16 MXU pass on this Mosaic stack
+# (~2.8e-3 relative error; integers above 256 not exactly representable).
+# Every kernel dot therefore requests HIGHEST precision: the one-hot
+# gathers/expansions become exact and G@lam reaches f32 accuracy.
+PREC = jax.lax.Precision.HIGHEST  # one-hot table is (2^m, B_chunk); chunking bounds VMEM
 
 
 def max_chunk_lanes(m: int, vmem_budget_bytes: int = 10 * 2**20) -> int:
@@ -91,7 +96,7 @@ def _iteration_kernel(
     ones_sub = jnp.ones((n_subsets, 1), f32)
 
     def expand(row):  # (1, B) -> (m, B) via explicit matmul
-        return jnp.dot(ones_col, row, preferred_element_type=f32)
+        return jnp.dot(ones_col, row, preferred_element_type=f32, precision=PREC)
 
     ltri = (
         jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
@@ -99,14 +104,14 @@ def _iteration_kernel(
     ).astype(f32)
 
     def first_hit(hit):
-        cs = jnp.dot(ltri, hit, preferred_element_type=f32)
+        cs = jnp.dot(ltri, hit, preferred_element_type=f32, precision=PREC)
         return hit * (cs <= 1.5).astype(f32)
 
     # one-hot of the active-set bitmask over the subset-inverse table
     mask_id = jnp.sum(act * pow2, axis=0, keepdims=True)            # (1, B)
-    mask_m = jnp.dot(ones_sub, mask_id, preferred_element_type=f32)
+    mask_m = jnp.dot(ones_sub, mask_id, preferred_element_type=f32, precision=PREC)
     onehot = (sub_iota == mask_m).astype(f32)                       # (2^m, B)
-    inv_flat = jnp.dot(subset, onehot, preferred_element_type=f32)  # (m*m, B)
+    inv_flat = jnp.dot(subset, onehot, preferred_element_type=f32, precision=PREC)  # (m*m, B)
 
     d_side = side * du + (one - side) * dl
     rhs = -act * d_side
@@ -136,7 +141,7 @@ def _iteration_kernel(
     act_B = act * (one - is_jb)
 
     # acceptance step: add the most violated inactive row
-    c = jnp.dot(G, lam_star, preferred_element_type=f32)
+    c = jnp.dot(G, lam_star, preferred_element_type=f32, precision=PREC)
     cand = (one - act) * (one - immut)
     v_up = jnp.where(cand > half, -(du + c), -big)
     v_lo = jnp.where(cand > half, dl + c, -big)

@@ -74,3 +74,45 @@ def test_ds_polish_matches_f64_solution():
         dsl, jnp.asarray(thetas), jnp.asarray(wrong_act), jnp.asarray(sol.side)
     )
     assert np.mean(np.asarray(bad_wrong) > 1e-8) > 0.5
+
+
+def test_polish_pallas_interpret_matches_xla_ds():
+    """The fused Pallas polish kernel (interpret mode on CPU) must agree
+    with the XLA double-single polish and the f64 solution."""
+    from linearmpc_tpu.ops.pallas_polish import make_polish_data, polish_pallas
+
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    engine = mpc.engine
+
+    rng = np.random.default_rng(7)
+    B = 128
+    thetas = np.hstack([
+        rng.uniform(-20, 20, (B, 4)),
+        rng.uniform(-20, 20, (B, 2)),
+        rng.uniform(-2, 2, (B, 1)),
+    ])
+    sol = engine.solve_batch(jnp.asarray(thetas))
+    assert np.all(np.asarray(sol.status) == 1)
+    act = jnp.asarray(sol.active)
+    side = jnp.asarray(sol.side)
+
+    subset_inv = precompute_subset_inverses(engine.ldp)
+    dsl = make_dsldp(engine.ldp, subset_inv)
+    U_x, lam_x, fval_x, bad_x = polish_batch_ds(dsl, jnp.asarray(thetas), act, side)
+
+    pd = make_polish_data(engine.ldp, subset_inv)
+    U_p, lam_p, fval_p, bad_p = polish_pallas(pd, jnp.asarray(thetas), act, side, interpret=True)
+
+    assert np.max(np.abs(np.asarray(U_p.to_f64()) - np.asarray(U_x.to_f64()))) < 1e-11
+    assert np.max(np.abs(np.asarray(lam_p.to_f64()) - np.asarray(lam_x.to_f64()))) < 1e-11
+    fx = np.asarray(fval_x.to_f64())
+    fp = np.asarray(fval_p.to_f64())
+    assert np.max(np.abs(fp - fx) / np.maximum(np.abs(fx), 1.0)) < 1e-11
+    assert np.max(np.abs(np.asarray(U_p.to_f64()) - np.asarray(sol.U))) < 1e-10
+    assert np.max(np.asarray(bad_p)) < 1e-8
+    # badness must flag a corrupted working set
+    wrong = np.asarray(sol.active).copy()
+    wrong[:, 1] = ~wrong[:, 1]
+    *_ig, bad_w = polish_pallas(pd, jnp.asarray(thetas), jnp.asarray(wrong), side, interpret=True)
+    assert np.mean(np.asarray(bad_w) > 1e-8) > 0.5
