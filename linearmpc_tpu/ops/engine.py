@@ -243,6 +243,35 @@ class SolverEngine:
 
             self._pallas_batched = jax.jit(_pallas_batch)
 
+            if pdata is not None:
+                from .pallas_solver import phase1_pallas_while
+
+                def _fused_rollout_solve(thetas, lam0, act0, side0):
+                    """Warm-started whole-batch solve for use INSIDE a
+                    traced closed-loop scan: early-exit Pallas bulk phase
+                    + fused double-single polish, no f64 work. Returns
+                    (U_f32, lam, act, side, iters, status)."""
+                    B = thetas.shape[0]
+                    th32 = thetas.astype(jnp.float32)
+                    du_t = du32 + th32 @ Dth32.T
+                    dl_t = dl32 + th32 @ Dth32.T
+                    lam, act, side, iters, done = phase1_pallas_while(
+                        subset_flat, G32, du_t, dl_t, eqf, immutf,
+                        lam0.astype(jnp.float32),
+                        (act0 | (eqf > 0.5)).astype(jnp.float32),
+                        side0.astype(jnp.float32),
+                        m=m, n_subsets=2**m, max_iter=bulk_cap,
+                        primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+                    )
+                    U_hi, U_lo, lam_hi, lam_lo, _fh, _fl, bad = _chunked(
+                        lambda th, a, s: _polish_flat(pdata, th, a, s),
+                        B, PL_CHUNK, thetas.astype(jnp.float64), act, side,
+                    )
+                    status = jnp.where(done & (bad <= 1e-5), jnp.int32(1), jnp.int32(-1))
+                    return U_hi, lam_hi, act, side, iters, status
+
+                self.fused_rollout_solve = _fused_rollout_solve
+
         if self.has_binaries:
             from .bnb import solve_bnb_single
             from .dual_active_set import polish_solution

@@ -230,3 +230,67 @@ def phase1_pallas(
     )
     iters = jnp.sum(active_steps, axis=0)
     return lam.T, act.T > 0.5, side.T > 0.5, iters.astype(jnp.int32), done[0] > 0.5
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n_subsets", "max_iter", "primal_tol", "sign_tol", "interpret"),
+)
+def phase1_pallas_while(
+    subset_flat, G, du_t, dl_t, eq, immut, lam0, act0, side0,
+    *,
+    m: int,
+    n_subsets: int,
+    max_iter: int,
+    primal_tol: float,
+    sign_tol: float,
+    interpret: bool = False,
+):
+    """Early-exit variant of ``phase1_pallas``: the iteration kernel runs
+    under a ``lax.while_loop`` that stops as soon as every lane converges.
+    The right bulk phase for warm-started solves (closed-loop rollouts),
+    where most steps finish in 0-3 iterations and a fixed scan budget
+    would burn ~10x the kernel dispatches."""
+    B = du_t.shape[0]
+    assert B % LANES == 0, "batch must be a multiple of 128"
+
+    to_lane = lambda a: jnp.asarray(a, jnp.float32).T
+    du_l, dl_l = to_lane(du_t), to_lane(dl_t)
+    lam_l, act_l, side_l = to_lane(lam0), to_lane(act0), to_lane(side0)
+    subset_flat = jnp.asarray(subset_flat, jnp.float32)
+    G = jnp.asarray(G, jnp.float32)
+    eq_c = jnp.asarray(eq, jnp.float32).reshape(m, 1)
+    immut_c = jnp.asarray(immut, jnp.float32).reshape(m, 1)
+
+    kernel = functools.partial(
+        _iteration_kernel, m=m, n_subsets=n_subsets, B=B,
+        primal_tol=primal_tol, sign_tol=sign_tol,
+    )
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[vm()] * 10,
+        out_specs=[vm()] * 4,
+        out_shape=[jax.ShapeDtypeStruct((m, B), jnp.float32)] * 4,
+        interpret=interpret,
+    )
+
+    done0 = jnp.zeros((m, B), jnp.float32)
+    iters0 = jnp.zeros((B,), jnp.float32)
+
+    def cond(c):
+        lam, act, side, done, iters, it = c
+        return (it < max_iter) & (jnp.min(done[0]) < 0.5)
+
+    def body(c):
+        lam, act, side, done, iters, it = c
+        iters = iters + (1.0 - done[0])
+        lam, act, side, done = call(
+            subset_flat, G, du_l, dl_l, eq_c, immut_c, lam, act, side, done
+        )
+        return (lam, act, side, done, iters, it + 1)
+
+    lam, act, side, done, iters, _ = jax.lax.while_loop(
+        cond, body, (lam_l, act_l, side_l, done0, iters0, jnp.int32(0))
+    )
+    return lam.T, act.T > 0.5, side.T > 0.5, iters.astype(jnp.int32), done[0] > 0.5

@@ -112,9 +112,16 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
         nxo = 0
 
     m = arrays.G.shape[0]
+    # TPU fused path: early-exit Pallas bulk phase + double-single polish
+    # per scan step (no f64 work); requires the lane batch to be a
+    # multiple of 128
+    fused_solve = getattr(engine, "fused_rollout_solve", None)
+    if polish is not None and not polish:
+        fused_solve = None
 
     def rollout(x0s, rs=None, ds=None, ps=None, N: int = 100):
         B = x0s.shape[0]
+        use_fused = fused_solve is not None and B % 128 == 0
         x0s = jnp.asarray(x0s, dtype)
 
         # normalize trajectories to (B, N + Np + 1, *) with hold-last padding
@@ -186,17 +193,24 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
                     parts.append(jax.lax.dynamic_slice_in_dim(ps, kk, 1, axis=1)[:, 0, :])
             theta = jnp.concatenate(parts, axis=1)
 
-            sol = jax.vmap(
-                lambda th, l0, a0, s0: solve_single(arrays, th, l0, a0, s0, ldp_hi=arrays_hi, **kw)
-            )(theta, lam, act, side)
-            u = sol.U[:, :nu].astype(dtype) - xhat @ K.T
+            if use_fused:
+                U, lam_n, act_n, side_n, iters_n, status_n = fused_solve(theta, lam, act, side)
+                sol_lam, sol_active, sol_side = lam_n, act_n, side_n
+                u = U[:, :nu].astype(dtype) - xhat @ K.T
+            else:
+                sol = jax.vmap(
+                    lambda th, l0, a0, s0: solve_single(arrays, th, l0, a0, s0, ldp_hi=arrays_hi, **kw)
+                )(theta, lam, act, side)
+                sol_lam, sol_active, sol_side = sol.lam, sol.active, sol.side
+                iters_n, status_n = sol.iters, sol.status
+                u = sol.U[:, :nu].astype(dtype) - xhat @ K.T
 
             if has_obs:
                 xo = xo @ oF.T + u @ oG.T + of + (d_k @ oGd.T if nd_sim else 0.0)
 
             x_next = x @ Fp.T + u @ Gp.T + fp + (d_k @ Gd.T if nd_sim else 0.0)
-            carry = (x_next, xo, u, sol.lam.astype(dtype), sol.active, sol.side, kk + 1)
-            return carry, (x, u, y_m, sol.iters, sol.status)
+            carry = (x_next, xo, u, sol_lam.astype(dtype), sol_active, sol_side, kk + 1)
+            return carry, (x, u, y_m, iters_n, status_n)
 
         xo0 = jnp.zeros((B, nxo), dtype)
         if has_obs:
