@@ -102,22 +102,66 @@ def certify(mpc, *, prange=None, AS0=(), iter_limit: int = 60,
     rng_samples = np.random.default_rng(0)
     probe = lb + (ub - lb) * rng_samples.random((64, nth))
 
-    def nonempty(Ath, bth, hint=None, need_center=False):
-        """Emptiness check with a sampling fast path: a strictly interior
-        probe point certifies nonemptiness without an LP."""
+    def _prescreen(Ath, bth, hint):
+        """Sampling fast path: a strictly interior point certifies
+        nonemptiness without an LP; zero rows with negative rhs certify
+        emptiness. Returns (verdict-or-None, point, filtered rows)."""
         if len(bth) == 0:
-            return True, (lb + ub) / 2
-        if not need_center:
-            if hint is not None:
-                margin = float(np.max(Ath @ hint - bth))
-                if margin < -1e-9:
-                    return True, hint
-            viol = Ath @ probe.T - bth[:, None]
-            good = np.where(np.max(viol, axis=0) < -1e-9)[0]
-            if len(good):
-                return True, probe[good[0]]
+            return True, (lb + ub) / 2, (Ath, bth)
+        nrm = np.linalg.norm(Ath, axis=1)
+        zero = nrm <= 1e-12
+        if np.any(bth[zero] < -1e-9):
+            return False, None, (Ath, bth)
+        if np.any(zero):
+            Ath, bth = Ath[~zero], bth[~zero]
+            if len(bth) == 0:
+                return True, (lb + ub) / 2, (Ath, bth)
+        if hint is not None:
+            if float(np.max(Ath @ hint - bth)) < -1e-9:
+                return True, hint, (Ath, bth)
+        viol = Ath @ probe.T - bth[:, None]
+        good = np.where(np.max(viol, axis=0) < -1e-9)[0]
+        if len(good):
+            return True, probe[good[0]], (Ath, bth)
+        return None, None, (Ath, bth)
+
+    def nonempty(Ath, bth, hint=None):
+        """Single emptiness check (probe fast path, then the host LP)."""
+        verdict, pt, (Ath, bth) = _prescreen(Ath, bth, hint)
+        if verdict is not None:
+            return verdict, pt
         r, c = _chebyshev_radius(Ath, bth, lb, ub)
         return (r > region_tol), c
+
+    def nonempty_batch(cands):
+        """Batched emptiness check of [(rows, rhs, hint), ...]: probe fast
+        path per candidate, then ONE batched interior-point LP call
+        (ops/lp_ipm.py) for the rest; borderline lanes confirmed on host."""
+        from .ops.lp_ipm import chebyshev_batch
+
+        results = [None] * len(cands)
+        lp_items = []
+        for i, (Ath, bth, hint) in enumerate(cands):
+            verdict, pt, (Af, bf) = _prescreen(Ath, bth, hint)
+            if verdict is not None:
+                results[i] = (verdict, pt)
+            else:
+                lp_items.append((i, Af, bf))
+        if lp_items:
+            m_pad = ((max(len(bf) for _i, _A, bf in lp_items) + 31) // 32) * 32
+            As = np.zeros((len(lp_items), m_pad, nth))
+            bs = np.ones((len(lp_items), m_pad))
+            for k, (_i, Af, bf) in enumerate(lp_items):
+                As[k, : len(bf)] = Af
+                bs[k, : len(bf)] = bf
+            rs, centers = chebyshev_batch(As, bs, lb, ub)
+            for k, (i, Af, bf) in enumerate(lp_items):
+                r, c = rs[k], centers[k]
+                if not np.isfinite(r) or abs(r - region_tol) < 1e-6:
+                    r, c = _chebyshev_radius(Af, bf, lb, ub)
+                    r = -np.inf if c is None else r
+                results[i] = (r > region_tol, c)
+        return results
 
     while stack:
         if len(partition) >= max_regions:
@@ -141,12 +185,15 @@ def certify(mpc, *, prange=None, AS0=(), iter_limit: int = 60,
             F, g = U0F, U0g
 
         # 1) removal branches: lambda_i < 0 for some removable i
+        rem_cands, rem_meta = [], []
         for pos, i in enumerate(ASl):
             if always[i]:
                 continue
             rows = np.vstack([Ath, Flam[pos][None, :]])
             rhs = np.concatenate([bth, [-glam[pos]]])  # Flam th + glam < 0
-            ne, pt = nonempty(rows, rhs, hint)
+            rem_cands.append((rows, rhs, hint))
+            rem_meta.append((i, rows, rhs))
+        for (ne, pt), (i, rows, rhs) in zip(nonempty_batch(rem_cands), rem_meta):
             if ne:
                 stack.append((tuple(sorted(set(ASl) - {i})), k + 1, rows, rhs, pt))
 
@@ -170,27 +217,32 @@ def certify(mpc, *, prange=None, AS0=(), iter_limit: int = 60,
         sg = qp.b[inact] - qp.A[inact] @ g
 
         # 2) addition branches: the solver adds the most violated row ->
-        #    disjoint argmax cells {v_j > tol, v_j >= v_k for all k != j}
-        for jj, j in enumerate(inact):
-            if len(AS) >= n:
-                break
-            rows = [Ath_df, Sf[jj][None, :]]        # slack_j < 0
-            rhs = [bth_df, [-sg[jj]]]
-            for kk in range(len(inact)):            # v_j >= v_k: s_k >= s_j
-                if kk == jj:
-                    continue
-                rows.append((Sf[jj] - Sf[kk])[None, :])
-                rhs.append([sg[kk] - sg[jj]])
-            rows = np.vstack(rows)
-            rhs = np.concatenate([np.atleast_1d(r) for r in rhs])
-            ne, pt = nonempty(rows, rhs, center)
-            if ne:
-                stack.append((tuple(sorted(set(ASl) | {j})), k + 1, rows, rhs, pt))
-
-        # 3) termination subregion: all slacks >= 0
+        #    disjoint argmax cells {v_j > tol, v_j >= v_k for all k != j};
+        #    3) termination subregion: all slacks >= 0. One batched oracle
+        #    call covers every addition cell plus the termination cell.
+        add_cands, add_meta = [], []
+        if len(AS) < n:
+            for jj, j in enumerate(inact):
+                rows = [Ath_df, Sf[jj][None, :]]        # slack_j < 0
+                rhs = [bth_df, [-sg[jj]]]
+                for kk in range(len(inact)):            # v_j >= v_k: s_k >= s_j
+                    if kk == jj:
+                        continue
+                    rows.append((Sf[jj] - Sf[kk])[None, :])
+                    rhs.append([sg[kk] - sg[jj]])
+                rows = np.vstack(rows)
+                rhs = np.concatenate([np.atleast_1d(r) for r in rhs])
+                add_cands.append((rows, rhs, center))
+                add_meta.append((j, rows, rhs))
         rows_t = np.vstack([Ath_df, -Sf]) if len(inact) else Ath_df
         rhs_t = np.concatenate([bth_df, sg]) if len(inact) else bth_df
-        ne, center = nonempty(rows_t, rhs_t, center)
+        add_cands.append((rows_t, rhs_t, center))
+
+        verdicts = nonempty_batch(add_cands)
+        for (ne, pt), (j, rows, rhs) in zip(verdicts[:-1], add_meta):
+            if ne:
+                stack.append((tuple(sorted(set(ASl) | {j})), k + 1, rows, rhs, pt))
+        ne, center = verdicts[-1]
         if ne:
             partition.append(CertRegion(rows_t, rhs_t, tuple(ASl), k + 1, center))
             max_iter_seen = max(max_iter_seen, k + 1)

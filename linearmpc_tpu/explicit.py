@@ -328,13 +328,18 @@ def _region_radius(cr: "CriticalRegion") -> float:
 
 def build_explicit(mpc, *, prange=None, max_regions: int = 10000,
                    single_soft: bool = True, build_tree: bool = False,
-                   region_tol: float = 1e-9) -> ExplicitMPC:
+                   region_tol: float = 1e-9, oracle: str = "batch") -> ExplicitMPC:
     """Enumerate the critical regions of the mpQP over ``prange``.
 
     BFS over active-set neighbors: each irredundant facet of a region is
     either a lambda_i >= 0 boundary (drop i) or an inactive-constraint
     boundary (add j); candidate regions are kept when their Chebyshev
     radius over the parameter box is positive.
+
+    ``oracle``: "batch" solves each frontier wave's Chebyshev LPs in one
+    batched interior-point call on the default device (ops/lp_ipm.py),
+    confirming borderline lanes on the host; "host" solves one HiGHS LP
+    per candidate (the reference-style serial path).
     """
     import warnings
 
@@ -367,8 +372,9 @@ def build_explicit(mpc, *, prange=None, max_regions: int = 10000,
     ignore = (qp.senses & IMMUTABLE) != 0
     always = ((qp.senses & ACTIVE) != 0)
 
-    def region_of(active_set):
-        """Build the critical region for a candidate active set, or None."""
+    def rows_of(active_set):
+        """Assemble the candidate region's hyperplanes (no feasibility
+        check), or None if the working-set system is singular."""
         AS = np.asarray(sorted(active_set), dtype=int)
         if len(AS) > n:
             return None
@@ -413,10 +419,72 @@ def build_explicit(mpc, *, prange=None, max_regions: int = 10000,
             ok = nrm > 1e-12
             Ath[ok] = Ath[ok] / nrm[ok, None]
             bth[ok] = bth[ok] / nrm[ok]
+        return tuple(AS.tolist()), Ath, bth, F, g, Flam, glam
+
+    def region_of(active_set):
+        """Critical region via the host (HiGHS) Chebyshev LP, or None."""
+        built = rows_of(active_set)
+        if built is None:
+            return None
+        AS, Ath, bth, F, g, Flam, glam = built
         r, center = _chebyshev_radius(Ath, bth, lb, ub)
         if r <= region_tol or center is None:
             return None
-        return CriticalRegion(tuple(AS.tolist()), Ath, bth, F, g, Flam, glam, center)
+        return CriticalRegion(AS, Ath, bth, F, g, Flam, glam, center)
+
+    def regions_of_batch(active_sets):
+        """Batched feasibility oracle (ops/lp_ipm.py): solve the whole
+        frontier's Chebyshev LPs in one device call; borderline lanes
+        (|r| < 1e-6) are confirmed by the host LP."""
+        from .ops.lp_ipm import chebyshev_batch
+
+        built = [rows_of(AS) for AS in active_sets]
+        live = []
+        out = []
+        for bi in built:
+            if bi is None:
+                continue
+            AS, Ath, bth, F, g, Flam, glam = bi
+            # numerically-zero rows: "0 <= b" -- infeasible artifact of a
+            # degenerate working set when b < 0, vacuous otherwise (these
+            # rows destabilize the IPM; HiGHS handles them implicitly)
+            if len(bth):
+                nrm = np.linalg.norm(Ath, axis=1)
+                zero = nrm <= 1e-12
+                if np.any(bth[zero] < -1e-9):
+                    continue
+                if np.any(zero):
+                    bi = (AS, Ath[~zero], bth[~zero], F, g, Flam, glam)
+            if len(bi[2]) == 0:  # unconstrained region
+                out.append(CriticalRegion(AS, bi[1], bi[2], F, g, Flam, glam,
+                                          (lb + ub) / 2))
+            else:
+                live.append(bi)
+        if not live:
+            return out
+        m_pad = max(len(bi[2]) for bi in live)
+        m_pad = ((m_pad + 31) // 32) * 32
+        B = len(live)
+        As = np.zeros((B, m_pad, nth))
+        bs = np.ones((B, m_pad))
+        for k, bi in enumerate(live):
+            Ath, bth = bi[1], bi[2]
+            As[k, : len(bth)] = Ath
+            bs[k, : len(bth)] = bth
+        rs, centers = chebyshev_batch(As, bs, lb, ub)
+        for k, bi in enumerate(live):
+            r, center = rs[k], centers[k]
+            # borderline or non-converged lanes: confirm on the host LP
+            if not np.isfinite(r) or abs(r - region_tol) < 1e-6:
+                r, center = _chebyshev_radius(bi[1], bi[2], lb, ub)
+                if center is None:
+                    continue
+            if r <= region_tol:
+                continue
+            AS, Ath, bth, F, g, Flam, glam = bi
+            out.append(CriticalRegion(AS, Ath, bth, F, g, Flam, glam,
+                                      np.asarray(center)))
+        return out
 
     # seed: optimal active set at the box center (and corners fallback)
     from .ops.reference_solver import solve_ldp_numpy
@@ -465,26 +533,35 @@ def build_explicit(mpc, *, prange=None, max_regions: int = 10000,
 
     regions = []
     while queue and len(regions) < max_regions:
-        AS = queue.pop()
-        cr = region_of(AS)
-        if cr is None:
-            continue
-        regions.append(cr)
-        # neighbors: drop each non-forced active row, add each inactive row
-        for i in AS:
-            if not always[i]:
-                cand = tuple(sorted(set(AS) - {i}))
-                if cand not in seen:
+        # frontier wave: one batched device LP call for the whole frontier
+        # ("host" oracle: one HiGHS LP per candidate)
+        if oracle == "batch":
+            wave, queue = queue, []
+            accepted = regions_of_batch(wave)
+        else:
+            wave = [queue.pop()]
+            cr = region_of(wave[0])
+            accepted = [cr] if cr is not None else []
+        for cr in accepted:
+            if len(regions) >= max_regions:
+                break
+            regions.append(cr)
+            AS = cr.active_set
+            # neighbors: drop each non-forced active row, add each inactive
+            for i in AS:
+                if not always[i]:
+                    cand = tuple(sorted(set(AS) - {i}))
+                    if cand not in seen:
+                        seen.add(cand)
+                        queue.append(cand)
+            inact = [j for j in range(m) if j not in AS and not ignore[j]]
+            for j in inact:
+                if qp.bounds_table[j] in AS:
+                    continue  # both sides of one hyperplane cannot be active
+                cand = tuple(sorted(set(AS) | {j}))
+                if len(cand) <= n and cand not in seen:
                     seen.add(cand)
                     queue.append(cand)
-        inact = [j for j in range(m) if j not in AS and not ignore[j]]
-        for j in inact:
-            if qp.bounds_table[j] in AS:
-                continue  # both sides of one hyperplane cannot be active
-            cand = tuple(sorted(set(AS) | {j}))
-            if len(cand) <= n and cand not in seen:
-                seen.add(cand)
-                queue.append(cand)
 
     # prestabilizing-feedback correction of stored gains
     # (reference src/explicit.jl:65-71: feedbacks[1:nx,:] -= K')

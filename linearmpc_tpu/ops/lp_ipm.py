@@ -1,0 +1,136 @@
+"""Batched dense LP solver (primal-dual interior point) — the TPU
+feasibility oracle for explicit-MPC enumeration and certification.
+
+The reference's offline analyses (ParametricDAQP region enumeration,
+ASCertain certification — SURVEY.md rows 15-16) and our explicit.py solve
+one small Chebyshev LP per candidate region through scipy/HiGHS: a serial
+host bottleneck once enumerations reach thousands of candidates. Here the
+whole frontier of candidate polytopes is solved at once: one fixed-shape
+primal-dual path-following iteration, ``vmap``-batched over lanes, with
+the (n x n) normal-equations solve as a batched Cholesky — all MXU/VPU
+work on device.
+
+Signed Chebyshev formulation: maximize r s.t. A th + ||A_i|| r <= b plus
+box rows — *without* r >= 0 — so every instance is strictly feasible
+(push r below all slacks at the box center) and emptiness is simply
+r* < 0. That removes the need for infeasibility detection inside the IPM:
+primal feasibility is maintained exactly (A dx + ds = 0) from the strictly
+feasible start.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def lp_ipm_batch(A, b, c, x0, *, n_iter: int = 40):
+    """Solve min c'x s.t. A x <= b for a batch of LPs.
+
+    Args:
+      A: (B, m, n); zero rows are valid padding when the matching b > 0.
+      b: (B, m)
+      c: (B, n) or (n,)
+      x0: (B, n) strictly feasible starts (A x0 < b elementwise).
+    Returns (x, obj, gap): primal solutions, objectives, and final
+    complementarity gaps (convergence indicator).
+    """
+    B, m, n = A.shape
+    dtype = A.dtype
+    c = jnp.broadcast_to(c, (B, n)).astype(dtype)
+
+    s0 = b - jnp.einsum("bmn,bn->bm", A, x0)
+    lam0 = jnp.ones((B, m), dtype)
+
+    ridge = jnp.asarray(1e-12, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    def body(_, state):
+        x, s, lam = state
+        # s stays exactly primal-feasible: A dx + ds = 0 throughout
+        d = lam / s                                   # (B, m)
+        mu = jnp.mean(lam * s, axis=1, keepdims=True)
+        sigma = jnp.asarray(0.2, dtype)
+        r_d = c + jnp.einsum("bmn,bm->bn", A, lam)    # dual residual
+        # normal equations: (A' D A + ridge) dx = -r_d - A'(sigma mu / s - lam)
+        M = jnp.einsum("bmn,bm,bmk->bnk", A, d, A) + ridge * eye
+        rhs = -r_d - jnp.einsum("bmn,bm->bn", A, sigma * mu / s - lam)
+        L = jnp.linalg.cholesky(M)
+        dx = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+        ds = -jnp.einsum("bmn,bn->bm", A, dx)
+        dlam = (sigma * mu - lam * (s + ds)) / s
+
+        # fraction-to-boundary step
+        def maxstep(v, dv):
+            t = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, 0.995 * jnp.min(t, axis=1, keepdims=True))
+
+        ap = maxstep(s, ds)
+        ad = maxstep(lam, dlam)
+        x = x + ap * dx
+        s = s + ap * ds
+        lam = lam + ad * dlam
+        return x, s, lam
+
+    x, s, lam = jax.lax.fori_loop(0, n_iter, body, (x0, s0, lam0))
+    obj = jnp.sum(c * x, axis=1)
+    gap = jnp.sum(lam * s, axis=1) / m
+    return x, obj, gap
+
+
+def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
+    """Batched signed Chebyshev radius of {A th <= b} ∩ [lb, ub].
+
+    Args:
+      As: (B, m, nth) region rows, zero rows as padding;
+      bs: (B, m) with padding rows' rhs >= 1;
+      lb, ub: (nth,) parameter box.
+    Returns (r, center): per-lane signed inscribed-ball radius over the box
+    (negative => empty intersection) and the ball center (valid when
+    r > 0). Runs wherever jax runs (f64: CPU or emulated TPU).
+    """
+    As = np.asarray(As, dtype=np.float64)
+    bs = np.asarray(bs, dtype=np.float64)
+    B, m, nth = As.shape
+    lb = np.asarray(lb, dtype=np.float64)
+    ub = np.asarray(ub, dtype=np.float64)
+
+    norms = np.linalg.norm(As, axis=2)                # (B, m)
+    # LP rows over x = [th; r]
+    box_A = np.zeros((2 * nth, nth + 1))
+    box_b = np.zeros(2 * nth)
+    for i in range(nth):
+        box_A[2 * i, i], box_A[2 * i, nth] = 1.0, 1.0
+        box_b[2 * i] = ub[i]
+        box_A[2 * i + 1, i], box_A[2 * i + 1, nth] = -1.0, 1.0
+        box_b[2 * i + 1] = -lb[i]
+    A = np.concatenate(
+        [np.concatenate([As, norms[..., None]], axis=2),
+         np.broadcast_to(box_A, (B, 2 * nth, nth + 1))], axis=1,
+    )
+    b = np.concatenate([bs, np.broadcast_to(box_b, (B, 2 * nth))], axis=1)
+
+    # strictly feasible start: box center, r below every slack
+    center = (lb + ub) / 2
+    slack0 = bs - As @ center                          # (B, m)
+    coef = np.where(norms > 1e-12, norms, 1.0)
+    r_cand = np.where(norms > 1e-12, slack0 / coef, np.inf)
+    r_box = np.min((ub - lb) / 2)
+    r0 = np.minimum(np.min(r_cand, axis=1), r_box) - 1.0
+    x0 = np.concatenate(
+        [np.broadcast_to(center, (B, nth)), r0[:, None]], axis=1
+    )
+
+    c = np.zeros(nth + 1)
+    c[nth] = -1.0  # maximize r
+
+    x, obj, gap = lp_ipm_batch(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), jnp.asarray(x0),
+        n_iter=n_iter,
+    )
+    x = np.asarray(x)
+    return x[:, nth], x[:, :nth]
