@@ -208,6 +208,133 @@ def _active_set_loop(
     return jax.lax.while_loop(cond, body, init)
 
 
+def _masked_inverse(Gmask, use_cholesky: bool = True):
+    """Explicit inverse of the masked working-set system (Cholesky-based:
+    TPU f64 LU is unsupported)."""
+    eps = jnp.finfo(Gmask.dtype).eps
+    m = Gmask.shape[0]
+    Gmask = Gmask + (100.0 * m * eps) * jnp.eye(m, dtype=Gmask.dtype)
+    eye = jnp.eye(m, dtype=Gmask.dtype)
+    if use_cholesky:
+        from jax.scipy.linalg import cho_solve
+
+        L = jnp.linalg.cholesky(Gmask)
+        return cho_solve((L, True), eye)
+    return jnp.linalg.solve(Gmask, eye)
+
+
+def _active_set_loop_iu(
+    ldp: LDPArrays,
+    du_t, dl_t, is_eq, immut,
+    lam, active, side,
+    *,
+    max_iter: int,
+    primal_tol: float,
+    sign_tol: float,
+    iters0=None,
+):
+    """Masked dual active-set iteration with O(m^2) recursive inverse
+    updates -- the lockstep analog of DAQP's recursive LDL' up/downdates
+    (reference algorithm, SURVEY.md N1).
+
+    The working set changes by exactly one row per iteration, so the
+    masked KKT matrix changes by a symmetric rank-2 correction
+    M' = M +/- U C U' with U = [e_ch, v], v = act_after * G[:, ch]
+    (v_ch = 0), C = [[G_chch - 1, 1], [1, 0]]. The carried inverse R is
+    updated by Woodbury: R' = R -/+ (R U)(C^-1 +/- U' R U)^-1 (R U)' --
+    two matvecs and an outer product instead of an O(m^3) factorization.
+    Degenerate additions make the 2x2 capacitance singular; the lane then
+    drifts and is repaired by the f64 finishing tiers (same contract as
+    the ridged Cholesky path). Requires a symmetric G_solve.
+    """
+    dtype = ldp.G.dtype
+    m = ldp.G.shape[0]
+    idx = jnp.arange(m)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    eps = jnp.finfo(dtype).eps
+    Gs = ldp.G_solve + (100.0 * m * eps) * jnp.eye(m, dtype=dtype)
+
+    actf0 = active.astype(dtype)
+    M0 = Gs * actf0[:, None] * actf0[None, :] + jnp.diag(1.0 - actf0)
+    R0 = _masked_inverse(M0)
+
+    def body(s):
+        (lam, act, side, it, done), R = s
+        actf = act.astype(dtype)
+        d_side = jnp.where(side, du_t, dl_t)
+        rhs = -actf * d_side
+        lam_star = R @ rhs
+
+        sign_viol = act & ~is_eq & jnp.where(side, lam_star < -sign_tol, lam_star > sign_tol)
+        has_viol = jnp.any(sign_viol)
+
+        denom = lam - lam_star
+        safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        alpha_i = jnp.where(sign_viol, lam / safe, big)
+        jb = jnp.argmin(alpha_i)
+        alpha = jnp.clip(alpha_i[jb], 0.0, 1.0)
+        lam_B = lam + alpha * (lam_star - lam)
+        lam_B = jnp.where(idx == jb, 0.0, lam_B)
+        act_B = act & (idx != jb)
+
+        c = ldp.G @ lam_star
+        cand = ~act & ~immut
+        v_up = jnp.where(cand, -(du_t + c), -big)
+        v_lo = jnp.where(cand, dl_t + c, -big)
+        v = jnp.maximum(v_up, v_lo)
+        j = jnp.argmax(v)
+        converged = v[j] <= primal_tol
+        grow = (idx == j) & ~converged
+        act_A = act | grow
+        side_A = jnp.where(grow, v_up[j] >= v_lo[j], side)
+        lam_A = jnp.where(act_A, lam_star, 0.0)
+
+        new_lam = jnp.where(has_viol, lam_B, lam_A)
+        new_act = jnp.where(has_viol, act_B, act_A)
+        new_side = jnp.where(has_viol, side, side_A)
+        new_done = done | (~has_viol & converged)
+        changed = (has_viol | ~converged) & ~done
+
+        # rank-2 Woodbury update of R for the single changed row ``ch``
+        ch = jnp.where(has_viol, jb, j)
+        vcol = jnp.where(new_act & (idx != ch), Gs[:, ch], 0.0)
+        gjj = Gs[ch, ch]
+        Re = R[:, ch]
+        Rv = R @ vcol
+        a11 = Re[ch]
+        a12 = Rv[ch]
+        a21 = vcol @ Re
+        a22 = vcol @ Rv
+        # capacitance S = C^-1 +/- U'RU with C^-1 = [[0, 1], [1, 1 - gjj]]
+        S00 = jnp.where(has_viol, -a11, a11)
+        S01 = jnp.where(has_viol, 1.0 - a12, 1.0 + a12)
+        S10 = jnp.where(has_viol, 1.0 - a21, 1.0 + a21)
+        S11 = jnp.where(has_viol, (1.0 - gjj) - a22, (1.0 - gjj) + a22)
+        det = S00 * S11 - S01 * S10
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+        # R' = R - sgn_upd * W S^-1 W', W = [Re Rv]; add subtracts, remove adds
+        # (M + UCU')^-1 = R - RU S_add^-1 U'R ; (M - UCU')^-1 = R + RU S_rem^-1 U'R
+        t0 = (S11 * Re - S10 * Rv) / det     # first column of W S^-1
+        t1 = (-S01 * Re + S00 * Rv) / det    # second column
+        upd = jnp.outer(t0, Re) + jnp.outer(t1, Rv)
+        R_new = jnp.where(has_viol, R + upd, R - upd)
+        R = jnp.where(changed, R_new, R)
+
+        lam = jnp.where(done, lam, new_lam)
+        act = jnp.where(done, act, new_act)
+        side = jnp.where(done, side, new_side)
+        return DualState(lam, act, side, it + jnp.int32(~done), new_done), R
+
+    def cond(s):
+        st, R = s
+        return (~st.done) & (st.iters < max_iter)
+
+    it0 = jnp.int32(0) if iters0 is None else iters0
+    init = (DualState(lam, active, side, it0, jnp.asarray(False)), R0)
+    final, _R = jax.lax.while_loop(cond, body, init)
+    return final
+
+
 def _transformed_bounds(ldp: LDPArrays, theta, forced_mask, forced_side):
     du_t = ldp.du + ldp.Dth @ theta
     dl_t = ldp.dl + ldp.Dth @ theta
@@ -235,6 +362,7 @@ def solve_single(
     refine_iter: int = 16,
     bulk_iter_cap: int | None = None,
     bulk_unroll: int = 0,
+    bulk_inverse_updates: bool = False,
 ) -> Solution:
     """Solve one LDP instance parameterized by ``theta``.
 
@@ -287,11 +415,20 @@ def solve_single(
         max_iter_lo = min(max_iter, cap)
     else:
         max_iter_lo = max_iter
-    final = _active_set_loop(
-        ldp, du_t, dl_t, is_eq, immut, lam, active, side,
-        max_iter=max_iter_lo, primal_tol=primal_tol, sign_tol=sign_tol,
-        use_cholesky=use_cholesky, unroll=bulk_unroll if ldp_hi is not None else 0,
-    )
+    if bulk_inverse_updates and ldp.subset_inv is None:
+        # O(m^2) recursive Woodbury updates for the bulk phase (m beyond
+        # the subset cache); the high-precision continuation below keeps
+        # exact masked factorizations
+        final = _active_set_loop_iu(
+            ldp, du_t, dl_t, is_eq, immut, lam, active, side,
+            max_iter=max_iter_lo, primal_tol=primal_tol, sign_tol=sign_tol,
+        )
+    else:
+        final = _active_set_loop(
+            ldp, du_t, dl_t, is_eq, immut, lam, active, side,
+            max_iter=max_iter_lo, primal_tol=primal_tol, sign_tol=sign_tol,
+            use_cholesky=use_cholesky, unroll=bulk_unroll if ldp_hi is not None else 0,
+        )
 
     if ldp_hi is not None:
         # continue the iteration in high precision from the bulk result:

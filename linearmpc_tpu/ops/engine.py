@@ -74,6 +74,13 @@ class SolverEngine:
         kw = dict(
             max_iter=self.iter_limit, primal_tol=self.primal_tol, sign_tol=self.sign_tol,
             use_cholesky=self.symmetric, bulk_unroll=self.bulk_unroll,
+            # O(m^2) recursive Woodbury inverse updates for the bulk phase
+            # beyond the subset cache (DAQP's recursive-factorization
+            # analog); requires the f64 continuation to repair drift, and
+            # the R carry costs m^2 per lane
+            bulk_inverse_updates=(
+                subset_inv is None and self.symmetric and self.polish and ldp.m <= 512
+            ),
         )
         self._solve_kw = kw
 
@@ -278,7 +285,8 @@ class SolverEngine:
 
             nb = int(np.sum(ldp.is_binary))
             stack_cap = max(2 * nb + 2, 4)
-            bnb_kw = {k: v for k, v in kw.items() if k != "bulk_unroll"}
+            bnb_kw = {k: v for k, v in kw.items()
+                      if k not in ("bulk_unroll", "bulk_inverse_updates")}
             bnb_kw.update(stack_cap=stack_cap, node_limit=self.bnb_node_limit)
 
             def _bnb(arrays, hi, theta):

@@ -86,7 +86,17 @@ def solve_ldp_numpy(
             if -slack_lo[i] > best:
                 best, best_i, best_up = -slack_lo[i], i, False
         if best <= primal_tol:
-            status = 1
+            # optimality also requires the working-set system to be solved
+            # exactly: on a degenerate (singular) set the lstsq fallback
+            # leaves a residual, i.e. the ACTIVE rows are violated even
+            # though every inactive row passes. Report no certificate
+            # rather than an infeasible "optimum".
+            if len(W):
+                res = np.max(np.abs(np.where(
+                    [sides[i] for i in W], du[W], dl[W]) + c[W]))
+            else:
+                res = 0.0
+            status = 1 if res <= primal_tol else -1
             break
         work.append(best_i)
         sides[best_i] = best_up

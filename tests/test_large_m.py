@@ -59,3 +59,37 @@ def test_crazyflie_closed_loop():
     assert np.max(np.abs(sim.xs[3:6, -1])) < np.max(np.abs(sim.xs[3:6, 0]))
     # thrust commands respect bounds
     assert sim.us.min() > -1e-9 and sim.us.max() < 1 + 1e-9
+
+
+def test_inverse_update_bulk_matches_reference():
+    """f32 bulk phase with O(m^2) recursive Woodbury inverse updates
+    (DAQP's recursive-factorization analog) + f64 continuation must match
+    the NumPy f64 reference like the Cholesky path does."""
+    import jax.numpy as jnp
+
+    mpc, _ = lmpc.mpc_examples("invpend", 30, 8)
+    mpc.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
+                       ks=range(2, 12))
+    mpc.setup(dtype=jnp.float32)  # polish=True -> inverse-update bulk
+    assert mpc.engine._solve_kw["bulk_inverse_updates"]
+
+    rng = np.random.default_rng(2)
+    B = 48
+    thetas = np.hstack([
+        rng.uniform(-12, 12, (B, 4)), rng.uniform(-12, 12, (B, 2)),
+        rng.uniform(-2, 2, (B, 1)),
+    ])
+    sol = mpc.engine.solve_batch(thetas)
+    U = np.asarray(sol.U)
+    status = np.asarray(sol.status)
+    checked = 0
+    for i in range(B):
+        Ur, *_r, s = solve_ldp_numpy(mpc.engine.ldp, thetas[i])
+        if s == 1:
+            # every lane the sequential oracle certifies must converge
+            # here too and agree (the device solver also certifies lanes
+            # where the oracle stalls on degenerate sets -- not comparable)
+            assert status[i] == 1, i
+            assert np.max(np.abs(U[i] - Ur)) < 1e-8, i
+            checked += 1
+    assert checked >= B // 3
