@@ -210,17 +210,19 @@ def _active_set_loop(
 
 def _masked_inverse(Gmask, use_cholesky: bool = True):
     """Explicit inverse of the masked working-set system (Cholesky-based:
-    TPU f64 LU is unsupported)."""
+    TPU f64 LU is unsupported). Traced under HIGHEST matmul precision:
+    TPU f32 decompositions otherwise run their internal dots in bf16."""
     eps = jnp.finfo(Gmask.dtype).eps
     m = Gmask.shape[0]
     Gmask = Gmask + (100.0 * m * eps) * jnp.eye(m, dtype=Gmask.dtype)
     eye = jnp.eye(m, dtype=Gmask.dtype)
-    if use_cholesky:
-        from jax.scipy.linalg import cho_solve
+    with jax.default_matmul_precision("highest"):
+        if use_cholesky:
+            from jax.scipy.linalg import cho_solve
 
-        L = jnp.linalg.cholesky(Gmask)
-        return cho_solve((L, True), eye)
-    return jnp.linalg.solve(Gmask, eye)
+            L = jnp.linalg.cholesky(Gmask)
+            return cho_solve((L, True), eye)
+        return jnp.linalg.solve(Gmask, eye)
 
 
 def _active_set_loop_iu(
@@ -232,10 +234,13 @@ def _active_set_loop_iu(
     primal_tol: float,
     sign_tol: float,
     iters0=None,
+    return_R: bool = False,
 ):
     """Masked dual active-set iteration with O(m^2) recursive inverse
     updates -- the lockstep analog of DAQP's recursive LDL' up/downdates
-    (reference algorithm, SURVEY.md N1).
+    (reference algorithm, SURVEY.md N1). With ``return_R`` the final
+    carried inverse is returned for use as an iterative-refinement
+    preconditioner by the finishing tier.
 
     The working set changes by exactly one row per iteration, so the
     masked KKT matrix changes by a symmetric rank-2 correction
@@ -257,13 +262,26 @@ def _active_set_loop_iu(
     actf0 = active.astype(dtype)
     M0 = Gs * actf0[:, None] * actf0[None, :] + jnp.diag(1.0 - actf0)
     R0 = _masked_inverse(M0)
+    # TPU f32 Cholesky runs its internal dots in bf16 (XLA expander ignores
+    # the requested precision), leaving R0 with ~1e-3 relative error --
+    # enough to destabilize the sign tests. Two Newton-Schulz steps at
+    # HIGHEST precision restore full f32 accuracy: R <- R (2I - M R).
+    # CPU Cholesky is already exact f32; skip (NS amplifies rounding by
+    # the condition number when R is already at the floor).
+    if jax.default_backend() != "cpu":
+        eye0 = jnp.eye(m, dtype=dtype)
+        for _ in range(2):
+            MR = jnp.dot(M0, R0, precision=jax.lax.Precision.HIGHEST)
+            R0 = jnp.dot(R0, 2.0 * eye0 - MR, precision=jax.lax.Precision.HIGHEST)
+
+    PREC = jax.lax.Precision.HIGHEST  # TPU default matmul is bf16
 
     def body(s):
         (lam, act, side, it, done), R = s
         actf = act.astype(dtype)
         d_side = jnp.where(side, du_t, dl_t)
         rhs = -actf * d_side
-        lam_star = R @ rhs
+        lam_star = jnp.dot(R, rhs, precision=PREC)
 
         sign_viol = act & ~is_eq & jnp.where(side, lam_star < -sign_tol, lam_star > sign_tol)
         has_viol = jnp.any(sign_viol)
@@ -277,7 +295,7 @@ def _active_set_loop_iu(
         lam_B = jnp.where(idx == jb, 0.0, lam_B)
         act_B = act & (idx != jb)
 
-        c = ldp.G @ lam_star
+        c = jnp.dot(ldp.G, lam_star, precision=PREC)
         cand = ~act & ~immut
         v_up = jnp.where(cand, -(du_t + c), -big)
         v_lo = jnp.where(cand, dl_t + c, -big)
@@ -300,11 +318,11 @@ def _active_set_loop_iu(
         vcol = jnp.where(new_act & (idx != ch), Gs[:, ch], 0.0)
         gjj = Gs[ch, ch]
         Re = R[:, ch]
-        Rv = R @ vcol
+        Rv = jnp.dot(R, vcol, precision=PREC)
         a11 = Re[ch]
         a12 = Rv[ch]
-        a21 = vcol @ Re
-        a22 = vcol @ Rv
+        a21 = jnp.dot(vcol, Re, precision=PREC)
+        a22 = jnp.dot(vcol, Rv, precision=PREC)
         # capacitance S = C^-1 +/- U'RU with C^-1 = [[0, 1], [1, 1 - gjj]]
         S00 = jnp.where(has_viol, -a11, a11)
         S01 = jnp.where(has_viol, 1.0 - a12, 1.0 + a12)
@@ -331,13 +349,16 @@ def _active_set_loop_iu(
 
     it0 = jnp.int32(0) if iters0 is None else iters0
     init = (DualState(lam, active, side, it0, jnp.asarray(False)), R0)
-    final, _R = jax.lax.while_loop(cond, body, init)
-    return final
+    final, R = jax.lax.while_loop(cond, body, init)
+    return (final, R) if return_R else final
 
 
 def _transformed_bounds(ldp: LDPArrays, theta, forced_mask, forced_side):
-    du_t = ldp.du + ldp.Dth @ theta
-    dl_t = ldp.dl + ldp.Dth @ theta
+    # HIGHEST: the TPU default matmul truncates to bf16, which would put
+    # ~1e-2 noise on the bounds against a 2e-5 primal tolerance
+    P = jax.lax.Precision.HIGHEST
+    du_t = ldp.du + jnp.dot(ldp.Dth, theta, precision=P)
+    dl_t = ldp.dl + jnp.dot(ldp.Dth, theta, precision=P)
     if forced_mask is not None:
         d_forced = jnp.where(forced_side, du_t, dl_t)
         du_t = jnp.where(forced_mask, d_forced, du_t)

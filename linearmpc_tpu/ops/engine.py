@@ -97,6 +97,114 @@ class SolverEngine:
         self._single = jax.jit(_single)
         self._batched = jax.jit(_batched)
 
+        # large-m batched path (TPU): Woodbury-update bulk phase returning
+        # the carried inverse R, then an iterative-refinement finishing
+        # tier (R-preconditioned Richardson on the exact f64 system -- all
+        # O(m^2) matvecs) with a small f64 straggler continuation. Avoids
+        # the per-iteration emulated-f64 Cholesky that dominates (and at
+        # large batches faults) the plain continuation on this TPU stack.
+        self.use_iu_batch = (
+            kw["bulk_inverse_updates"] and self.polish and not self.has_binaries
+        )
+        if self.use_iu_batch:
+            from .dual_active_set import Solution as IUSolution
+            from .dual_active_set import _active_set_loop_iu, finish_from_state
+
+            m_iu = ldp.m
+            IU_K = 64          # straggler lanes through the f64 continuation
+            REFINE = 6         # Richardson steps (contraction ~1e-2..1e-3/step)
+            # R carry is (B, m, m) f32: bound the lane chunk by ~1.5 GB
+            self._iu_chunk = max(
+                128, min(32768, int(1.5e9 / (4 * m_iu * m_iu)) // 128 * 128)
+            )
+            P = jax.lax.Precision.HIGHEST
+
+            def _iu_batch(arr, hi, thetas, lam0=None, act0=None, side0=None):
+                B = thetas.shape[0]
+                th32 = thetas.astype(self.dtype)
+                du_t = arr.du + jnp.dot(th32, arr.Dth.T, precision=P)
+                dl_t = arr.dl + jnp.dot(th32, arr.Dth.T, precision=P)
+                if lam0 is None:
+                    lam0 = jnp.zeros((B, m_iu), self.dtype)
+                    act0 = jnp.zeros((B, m_iu), bool)
+                    side0 = jnp.ones((B, m_iu), bool)
+                act0 = act0 | arr.is_eq
+                bulk_cap = min(self.iter_limit, 2 * m_iu + 24)
+                st, R = jax.vmap(
+                    lambda dut, dlt, l0, a0, s0: _active_set_loop_iu(
+                        arr, dut, dlt, arr.is_eq, arr.is_immutable,
+                        l0.astype(self.dtype), a0, s0,
+                        max_iter=bulk_cap, primal_tol=self.primal_tol,
+                        sign_tol=self.sign_tol, return_R=True,
+                    )
+                )(du_t, dl_t, lam0, act0, side0)
+                lam32, act, side, iters = st.lam, st.active, st.side, st.iters
+
+                f64 = jnp.float64
+                th64 = thetas.astype(f64)
+                du_h = hi.du + th64 @ hi.Dth.T
+                dl_h = hi.dl + th64 @ hi.Dth.T
+                actf = act.astype(f64)
+                d_side = jnp.where(side, du_h, dl_h)
+                rhs = -actf * d_side
+                applyR = lambda v: jnp.einsum(
+                    "bij,bj->bi", R, v.astype(jnp.float32), precision=P
+                ).astype(f64)
+                lam = applyR(rhs)
+                for _ in range(REFINE):
+                    Ml = actf * ((lam * actf) @ hi.G_solve.T) + (1.0 - actf) * lam
+                    lam = lam + applyR(rhs - Ml)
+                U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
+                f_t = hi.f + th64 @ hi.f_theta.T
+                fval = 0.5 * jnp.einsum("bi,ij,bj->b", U, hi.H, U) + jnp.sum(f_t * U, axis=1)
+
+                c = lam @ hi.G.T
+                inact = ~act & ~hi.is_immutable
+                v_up = jnp.where(inact, -(du_h + c), -jnp.inf)
+                v_lo = jnp.where(inact, dl_h + c, -jnp.inf)
+                primal = jnp.max(jnp.maximum(v_up, v_lo), axis=1)
+                sgn = jnp.max(jnp.where(
+                    act & ~hi.is_eq, jnp.where(side, -lam, lam), -jnp.inf), axis=1)
+                bad = jnp.maximum(primal, sgn)
+
+                k = min(IU_K, B)
+                bad_top, idx = jax.lax.top_k(bad, k)
+                # straggler continuation in f64 with the same Woodbury-
+                # update iteration (one emulated-f64 masked inverse per
+                # lane at entry, O(m^2) per step) -- a per-iteration
+                # emulated-f64 Cholesky here costs ~1 s/batch
+                st_fix, _Rf = jax.vmap(
+                    lambda dut, dlt, l0, a0, s0, it0: _active_set_loop_iu(
+                        hi, dut, dlt, hi.is_eq, hi.is_immutable,
+                        l0.astype(f64), a0 | hi.is_eq, s0,
+                        max_iter=bulk_cap + 24, primal_tol=min(self.primal_tol, 1e-6),
+                        sign_tol=1e-11, iters0=it0, return_R=True,
+                    )
+                )(du_h[idx], dl_h[idx], lam32[idx], act[idx], side[idx], iters[idx])
+                U_fix = hi.u_off + th64[idx] @ hi.Uth_off.T - st_fix.lam @ hi.HinvET.T
+                ft_fix = hi.f + th64[idx] @ hi.f_theta.T
+                fval_fix = (0.5 * jnp.einsum("bi,ij,bj->b", U_fix, hi.H, U_fix)
+                            + jnp.sum(ft_fix * U_fix, axis=1))
+                fix = IUSolution(
+                    U_fix, st_fix.lam, st_fix.active, st_fix.side, fval_fix,
+                    st_fix.iters,
+                    jnp.where(st_fix.done, jnp.int32(1), jnp.int32(-1)),
+                )
+                needs_fix = bad_top > 1e-8
+                merge = lambda base, upd: base.at[idx].set(
+                    jnp.where(
+                        needs_fix.reshape((-1,) + (1,) * (upd.ndim - 1)), upd, base[idx]
+                    )
+                )
+                status_base = jnp.where(bad <= 1e-8, jnp.int32(1), jnp.int32(-1))
+                return IUSolution(
+                    merge(U, fix.U), merge(lam, fix.lam), merge(act, fix.active),
+                    merge(side, fix.side), merge(fval, fix.fval),
+                    merge(iters, fix.iters), merge(status_base, fix.status),
+                )
+
+            self._iu_batched = jax.jit(_iu_batch)
+
         # fused Pallas bulk phase: each solver iteration is ONE gridless
         # kernel over the lane-major batch, looped by lax.scan outside
         # (~45x fewer dispatches than the op-granular XLA path). Default on
@@ -181,8 +289,9 @@ class SolverEngine:
 
                 def p1(th, l0, a0, s0):
                     th32 = th.astype(jnp.float32)
-                    du_t = du32 + th32 @ Dth32.T
-                    dl_t = dl32 + th32 @ Dth32.T
+                    PH = jax.lax.Precision.HIGHEST  # default TPU matmul is bf16
+                    du_t = du32 + jnp.dot(th32, Dth32.T, precision=PH)
+                    dl_t = dl32 + jnp.dot(th32, Dth32.T, precision=PH)
                     return phase1_pallas(
                         subset_flat, G32, du_t, dl_t, eqf, immutf,
                         l0.astype(jnp.float32), a0.astype(jnp.float32),
@@ -260,8 +369,9 @@ class SolverEngine:
                     (U_f32, lam, act, side, iters, status)."""
                     B = thetas.shape[0]
                     th32 = thetas.astype(jnp.float32)
-                    du_t = du32 + th32 @ Dth32.T
-                    dl_t = dl32 + th32 @ Dth32.T
+                    PH = jax.lax.Precision.HIGHEST
+                    du_t = du32 + jnp.dot(th32, Dth32.T, precision=PH)
+                    dl_t = dl32 + jnp.dot(th32, Dth32.T, precision=PH)
                     lam, act, side, iters, done = phase1_pallas_while(
                         subset_flat, G32, du_t, dl_t, eqf, immutf,
                         lam0.astype(jnp.float32),
@@ -335,6 +445,18 @@ class SolverEngine:
                 return self._pallas_batched(self.arrays_hi, thetas)
             lam0, act0, side0 = warm
             return self._pallas_batched(self.arrays_hi, thetas, lam0, act0, side0)
+        if getattr(self, "use_iu_batch", False):
+            B = thetas.shape[0]
+            CH = self._iu_chunk
+            outs = []
+            for i in range(0, B, CH):
+                sl = slice(i, min(i + CH, B))
+                w = (None,) * 3 if warm is None else tuple(a[sl] for a in warm)
+                outs.append(self._iu_batched(self.arrays, self.arrays_hi, thetas[sl], *w))
+            if len(outs) == 1:
+                return outs[0]
+            return Solution(*(jnp.concatenate([getattr(o, f) for o in outs])
+                              for f in Solution._fields))
         if warm is None:
             return self._batched(self.arrays, self.arrays_hi, thetas)
         lam0, act0, side0 = warm
