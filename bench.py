@@ -90,7 +90,6 @@ def main():
     outs[-1].U.block_until_ready()
     t_anchor = (time.perf_counter() - t0) / 4
     log(f"anchor batch: {B/t_anchor:,.0f} solves/s")
-    p99 = per_batch  # steady-state per-batch latency in the stream
 
     # accuracy vs independent float64 reference
     n_check = 256
@@ -150,7 +149,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1e5, 4),
         "max_control_error": err,
-        "p99_batch_latency_s": p99,
+        "mean_batch_latency_s": per_batch,
         "single_solve_p99_s": lat_p99,
     }))
 

@@ -154,10 +154,14 @@ def certify(mpc, *, prange=None, AS0=(), iter_limit: int = 60,
             for k, (_i, Af, bf) in enumerate(lp_items):
                 As[k, : len(bf)] = Af
                 bs[k, : len(bf)] = bf
-            rs, centers = chebyshev_batch(As, bs, lb, ub)
+            rs, centers, gaps = chebyshev_batch(As, bs, lb, ub)
             for k, (i, Af, bf) in enumerate(lp_items):
                 r, c = rs[k], centers[k]
-                if not np.isfinite(r) or abs(r - region_tol) < 1e-6:
+                # borderline, stalled (large gap), or non-finite lanes go
+                # to the exact host LP -- an off-by-more-than-tol radius
+                # here would prune certification branches unsoundly
+                if (not np.isfinite(r) or abs(r - region_tol) < 1e-6
+                        or gaps[k] > 1e-9):
                     r, c = _chebyshev_radius(Af, bf, lb, ub)
                     r = -np.inf if c is None else r
                 results[i] = (r > region_tol, c)

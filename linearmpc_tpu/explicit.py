@@ -471,11 +471,13 @@ def build_explicit(mpc, *, prange=None, max_regions: int = 10000,
             Ath, bth = bi[1], bi[2]
             As[k, : len(bth)] = Ath
             bs[k, : len(bth)] = bth
-        rs, centers = chebyshev_batch(As, bs, lb, ub)
+        rs, centers, gaps = chebyshev_batch(As, bs, lb, ub)
         for k, bi in enumerate(live):
             r, center = rs[k], centers[k]
-            # borderline or non-converged lanes: confirm on the host LP
-            if not np.isfinite(r) or abs(r - region_tol) < 1e-6:
+            # borderline, stalled (large complementarity gap), or
+            # non-converged lanes: confirm on the host LP
+            if (not np.isfinite(r) or abs(r - region_tol) < 1e-6
+                    or gaps[k] > 1e-9):
                 r, center = _chebyshev_radius(bi[1], bi[2], lb, ub)
                 if center is None:
                     continue

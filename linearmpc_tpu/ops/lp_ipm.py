@@ -89,9 +89,13 @@ def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
       As: (B, m, nth) region rows, zero rows as padding;
       bs: (B, m) with padding rows' rhs >= 1;
       lb, ub: (nth,) parameter box.
-    Returns (r, center): per-lane signed inscribed-ball radius over the box
-    (negative => empty intersection) and the ball center (valid when
-    r > 0). Runs wherever jax runs (f64: CPU or emulated TPU).
+    Returns (r, center, gap): per-lane signed inscribed-ball radius over
+    the box (negative => empty intersection), the ball center (valid when
+    r > 0), and the final IPM complementarity gap. A stalled lane
+    (degenerate near-parallel rows collapse the fraction-to-boundary step)
+    can report a finite r that is far from optimal with a large gap --
+    callers must route lanes with ``gap`` above ~1e-9 to an exact host LP
+    before trusting r. Runs wherever jax runs (f64: CPU or emulated TPU).
     """
     As = np.asarray(As, dtype=np.float64)
     bs = np.asarray(bs, dtype=np.float64)
@@ -133,4 +137,4 @@ def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
         n_iter=n_iter,
     )
     x = np.asarray(x)
-    return x[:, nth], x[:, :nth]
+    return x[:, nth], x[:, :nth], np.asarray(gap)

@@ -271,7 +271,15 @@ def polish_max_lanes(m: int, n: int, nth: int, vmem_budget_bytes: int = 13 * 2**
     per_lane = int(3.5 * (2**m + 2 * nth + 18 * m + 12 * n + 24) * 4)
     table = 2 * (m * m) * (2**m) * 4
     lanes = (vmem_budget_bytes - table) // per_lane
-    return max(LANES, (lanes // LANES) * LANES)
+    if lanes < LANES:
+        # clamping up would hit Mosaic's scoped-vmem OOM at compile time
+        # with an opaque error; fail with the actual configuration problem
+        raise ValueError(
+            f"ds polish kernel cannot fit one {LANES}-lane chunk in VMEM "
+            f"(m={m}, n={n}, nth={nth}: table {table} B + "
+            f"{per_lane} B/lane); disable it with LINEARMPC_TPU_DS=0"
+        )
+    return (lanes // LANES) * LANES
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

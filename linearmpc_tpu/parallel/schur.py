@@ -114,18 +114,24 @@ def make_mp_batch_solver(
             return y
         return act * y + (1.0 - act) * x
 
+    # CG exits on the residual dropping well below the solver's sign/
+    # primal tolerances (not only on the iteration budget): an
+    # under-converged lam_star would silently corrupt the working-set
+    # logic on ill-conditioned active sets
+    cg_tol2 = jnp.asarray(min(sign_tol, primal_tol) ** 2 * 1e-4, dtype)
+
     def cg_solve(G_local, act, rhs, x0):
         """Batched CG on the masked SPD system (unit diagonal); warm
         started from the current multipliers (close to lam_star after the
-        first few working-set changes, so the fixed iteration budget lands
-        well below the sign/primal tolerances)."""
+        first few working-set changes). Runs until every lane's residual
+        norm-squared is below ``cg_tol2`` or the iteration budget is hit."""
         x = x0
         r = rhs - mp_matvec(G_local, x, act)
         p = r
         rr = jnp.sum(r * r, axis=-1, keepdims=True)
 
-        def body(i, state):
-            x, r, p, rr = state
+        def body(state):
+            x, r, p, rr, i = state
             q = mp_matvec(G_local, p, act)
             pq = jnp.sum(p * q, axis=-1, keepdims=True)
             alpha = jnp.where(pq > 0, rr / jnp.maximum(pq, 1e-300), 0.0)
@@ -134,9 +140,15 @@ def make_mp_batch_solver(
             rr_new = jnp.sum(r * r, axis=-1, keepdims=True)
             beta = rr_new / jnp.maximum(rr, 1e-300)
             p = r + beta * p
-            return x, r, p, rr_new
+            return x, r, p, rr_new, i + 1
 
-        x, r, p, rr = jax.lax.fori_loop(0, cg_iter, body, (x, r, p, rr))
+        def cond(state):
+            _x, _r, _p, rr, i = state
+            return (i < cg_iter) & (jnp.max(rr) > cg_tol2)
+
+        x, r, p, rr, _ = jax.lax.while_loop(
+            cond, body, (x, r, p, rr, jnp.int32(0))
+        )
         return x
 
     def solver_block(G_local, Gp_local, thetas):
@@ -213,7 +225,24 @@ def make_mp_batch_solver(
         U = consts["u_off"] + thetas @ consts["Uth_off"].T - lam @ consts["HinvET"].T
         f_t = consts["f"] + thetas @ consts["f_theta"].T
         fval = 0.5 * jnp.einsum("bi,ij,bj->b", U, consts["H"], U) + jnp.sum(f_t * U, axis=-1)
-        status = jnp.where(done, jnp.int32(1), jnp.int32(-1))
+        # post-hoc KKT verification (mirrors engine._iu_batch's ``bad``
+        # check): ``done`` certifies the active-set loop's own tests, which
+        # rest on CG solves -- verify the full residual before reporting
+        # optimality so an under-converged CG lane cannot claim status 1
+        actf = act.astype(dtype)
+        d_side = jnp.where(side, du_t, dl_t)
+        kkt_res = jnp.max(
+            jnp.abs(mp_matvec(G_local, lam, actf) - (-actf * d_side)), axis=-1
+        )
+        c = mp_matvec(Gp_local, lam)
+        inact = ~act & ~immut
+        primal = jnp.max(jnp.where(inact, jnp.maximum(-(du_t + c), dl_t + c), -big),
+                         axis=-1)
+        sgn = jnp.max(jnp.where(act & ~is_eq, jnp.where(side, -lam, lam), -big),
+                      axis=-1)
+        bad = jnp.maximum(jnp.maximum(primal, sgn), kkt_res)
+        ok = done & (bad <= 10.0 * primal_tol)
+        status = jnp.where(ok, jnp.int32(1), jnp.int32(-1))
         return U, lam[:, :m_true], act[:, :m_true], side[:, :m_true], fval, iters, status
 
     from jax import shard_map
