@@ -50,6 +50,17 @@ _C_SOLVER = r"""
 static c_float ws_chol[N_CON * N_CON];
 static c_float ws_rhs[N_CON];
 static c_float ws_lam[N_CON];
+static int mpc_iters_last = 0;
+
+#if defined(MPC_WARMSTART)
+/* persistent working set across calls (reference DAQP_WARMSTART mode,
+ * src/codegen.jl:167-169): the previous optimal active set is the start
+ * of the next solve, so steady-state calls converge in O(1) iterations */
+static int warm_ws[N_CON], warm_side[N_CON], warm_k = 0, warm_have = 0;
+void mpc_reset_warmstart(void) { warm_have = 0; warm_k = 0; }
+#endif
+
+int mpc_last_iterations(void) { return mpc_iters_last; }
 
 static int solve_ws(const c_float *dloc, int *ws, int *side, int k)
 {
@@ -89,16 +100,31 @@ static int solve_ws(const c_float *dloc, int *ws, int *side, int k)
     return 0;
 }
 
-/* dloc holds interleaved transformed bounds: dloc[2i] = du_i, dloc[2i+1] = dl_i */
-int mpc_solve_ldp(const c_float *dloc, c_float *lam)
+/* Core solve. ``forced``: NULL, or per-row code 0 = free / 1 = hold at
+ * upper / 2 = hold at lower (the branch-and-bound node mechanism --
+ * forced rows behave like equality rows at the caller-clamped bound).
+ * On success returns iterations taken (>= 1) and writes the LDP objective
+ * value -0.5 * d_W' lam_W (the node lower bound used for pruning). */
+static int solve_ldp_core(const c_float *dloc, c_float *lam,
+                          const unsigned char *forced, c_float *fval)
 {
     int ws[N_CON], side[N_CON];
     c_float lam_full[N_CON];
     int k = 0, it, i, j, t;
 
     for (i = 0; i < N_CON; i++) { lam_full[i] = (c_float)0; lam[i] = (c_float)0; }
-    for (i = 0; i < N_CON; i++)
-        if (MPC_EQ[i]) { ws[k] = i; side[k] = 1; k++; }
+#if defined(MPC_WARMSTART)
+    if (!forced && warm_have) {
+        for (i = 0; i < warm_k; i++) { ws[i] = warm_ws[i]; side[i] = warm_side[i]; }
+        k = warm_k;
+    } else
+#endif
+    {
+        for (i = 0; i < N_CON; i++) {
+            if (MPC_EQ[i]) { ws[k] = i; side[k] = 1; k++; }
+            else if (forced && forced[i]) { ws[k] = i; side[k] = (forced[i] == 1); k++; }
+        }
+    }
 
     for (it = 0; it < MPC_ITER_LIMIT; it++) {
         if (k > 0 && solve_ws(dloc, ws, side, k)) return -2;
@@ -107,7 +133,7 @@ int mpc_solve_ldp(const c_float *dloc, c_float *lam)
         int blocked = 0, kb = -1;
         c_float alpha = (c_float)1;
         for (i = 0; i < k; i++) {
-            if (MPC_EQ[ws[i]]) continue;
+            if (MPC_EQ[ws[i]] || (forced && forced[ws[i]])) continue;
             c_float ls = ws_lam[i];
             int viol = side[i] ? (ls < (c_float)-MPC_SIGN_TOL)
                                : (ls > (c_float)MPC_SIGN_TOL);
@@ -150,13 +176,120 @@ int mpc_solve_ldp(const c_float *dloc, c_float *lam)
         }
         if (jbest < 0) {
             for (i = 0; i < N_CON; i++) lam[i] = lam_full[i];
+            if (fval) {
+                c_float acc = (c_float)0;
+                for (i = 0; i < k; i++)
+                    acc += dloc[2 * ws[i] + (side[i] ? 0 : 1)] * ws_lam[i];
+                *fval = (c_float)-0.5 * acc;
+            }
+#if defined(MPC_WARMSTART)
+            if (!forced) {
+                for (i = 0; i < k; i++) { warm_ws[i] = ws[i]; warm_side[i] = side[i]; }
+                warm_k = k; warm_have = 1;
+            }
+#endif
+            mpc_iters_last = it + 1;
             return it + 1; /* optimal */
         }
         if (k >= N_CON) return -3;
         ws[k] = jbest; side[k] = sbest; k++;
     }
+    mpc_iters_last = MPC_ITER_LIMIT;
     return -1; /* iteration limit */
 }
+
+/* dloc holds interleaved transformed bounds: dloc[2i] = du_i, dloc[2i+1] = dl_i */
+int mpc_solve_ldp(const c_float *dloc, c_float *lam)
+{
+    return solve_ldp_core(dloc, lam, 0, 0);
+}
+
+#if N_BINARY > 0
+/* Branch and bound over dual active-set relaxations for hybrid MPC
+ * (reference: DAQP_BNB path, codegen/mpc_update_qp.c:28-52 and external
+ * daqp_bnb; same lockstep algorithm as ops/bnb.py). Depth-first with a
+ * fixed-capacity assignment stack; a binary row is fixed by clamping both
+ * of its bounds to one side and holding it in the working set. Nodes are
+ * pruned on the LDP objective (a lower bound that only grows down the
+ * tree; the theta-dependent offset to the QP objective is node-invariant). */
+#define BNB_STACK_CAP (2 * N_BINARY + 2)
+static unsigned char bnb_stack[BNB_STACK_CAP][N_BINARY]; /* 0 free, 1 up, 2 lo */
+
+static int mpc_solve_bnb(const c_float *dloc0, c_float *lam_out)
+{
+    c_float dloc[2 * N_CON];
+    c_float lam[N_CON];
+    unsigned char forced[N_CON];
+    c_float inc_fval = (c_float)1e30;
+    int inc_found = 0, top, nodes = 0, i, b, t;
+
+    for (i = 0; i < N_BINARY; i++) bnb_stack[0][i] = 0;
+    top = 1;
+
+    while (top > 0 && nodes < MPC_BNB_NODE_LIMIT) {
+        unsigned char asgn[N_BINARY];
+        c_float fval;
+        int flag;
+        top--;
+        for (i = 0; i < N_BINARY; i++) asgn[i] = bnb_stack[top][i];
+        nodes++;
+
+        /* node bounds: clamp fixed binary rows to their side */
+        for (i = 0; i < 2 * N_CON; i++) dloc[i] = dloc0[i];
+        for (i = 0; i < N_CON; i++) forced[i] = 0;
+        for (b = 0; b < N_BINARY; b++) {
+            int row = MPC_BIN_IDX[b];
+            if (asgn[b] == 1) { dloc[2 * row + 1] = dloc[2 * row]; forced[row] = 1; }
+            else if (asgn[b] == 2) { dloc[2 * row] = dloc[2 * row + 1]; forced[row] = 2; }
+        }
+
+        flag = solve_ldp_core(dloc, lam, forced, &fval);
+        if (flag < 0) continue;                      /* infeasible/stalled: prune */
+        if (inc_found && fval >= inc_fval) continue; /* bound: prune */
+
+        /* most fractional unfixed binary row: largest distance to the
+         * nearer viable bound (original, unclamped bounds) */
+        int jb = -1, jb_b = -1, near_up = 1;
+        c_float fmax = (c_float)-1e30;
+        for (b = 0; b < N_BINARY; b++) {
+            int row = MPC_BIN_IDX[b];
+            c_float c, su, sl, f;
+            if (asgn[b]) continue;
+            c = (c_float)0;
+            for (t = 0; t < N_CON; t++) c += MPC_G[row * N_CON + t] * lam[t];
+            su = MPC_BIN_UP_FINITE[b] ? dloc0[2 * row] + c : (c_float)1e30;
+            sl = MPC_BIN_LO_FINITE[b] ? -(dloc0[2 * row + 1] + c) : (c_float)1e30;
+            f = su < sl ? su : sl;
+            if (f > fmax) { fmax = f; jb = row; jb_b = b; near_up = (su <= sl); }
+        }
+
+        if (jb < 0 || fmax <= (c_float)MPC_BNB_BIN_TOL) {
+            /* integral: incumbent update */
+            if (fval < inc_fval) {
+                inc_fval = fval; inc_found = 1;
+                for (i = 0; i < N_CON; i++) lam_out[i] = lam[i];
+            }
+            continue;
+        }
+
+        /* push far side first, near side last (DFS pops near first) */
+        {
+            int far_viable = near_up ? MPC_BIN_LO_FINITE[jb_b] : MPC_BIN_UP_FINITE[jb_b];
+            if (far_viable && top < BNB_STACK_CAP) {
+                for (i = 0; i < N_BINARY; i++) bnb_stack[top][i] = asgn[i];
+                bnb_stack[top][jb_b] = near_up ? 2 : 1;
+                top++;
+            }
+            if (top < BNB_STACK_CAP) {
+                for (i = 0; i < N_BINARY; i++) bnb_stack[top][i] = asgn[i];
+                bnb_stack[top][jb_b] = near_up ? 1 : 2;
+                top++;
+            }
+        }
+    }
+    return inc_found ? 1 : -4;
+}
+#endif /* N_BINARY > 0 */
 
 int mpc_compute_control(c_float *control, c_float *state, c_float *reference,
                         c_float *disturbance MPC_PARAM_ARG)
@@ -174,7 +307,11 @@ int mpc_compute_control(c_float *control, c_float *state, c_float *reference,
         dloc[2 * i] = MPC_DU[i] + acc;
         dloc[2 * i + 1] = MPC_DL[i] + acc;
     }
+#if N_BINARY > 0
+    flag = mpc_solve_bnb(dloc, lam);
+#else
     flag = mpc_solve_ldp(dloc, lam);
+#endif
     if (flag < 0) return flag;
 
     for (i = 0; i < N_CONTROL; i++) {
@@ -188,6 +325,16 @@ int mpc_compute_control(c_float *control, c_float *state, c_float *reference,
 """
 
 _C_PARAMETER = r"""
+/* The previous control enters theta through the static mpc_uprev buffer;
+ * closed-loop callers refresh it between steps with mpc_set_uprev (the
+ * reference instead reuses the caller's control buffer as the uprev input,
+ * codegen/mpc_update_parameter.c:27). */
+void mpc_set_uprev(const c_float *uprev)
+{
+    int i;
+    for (i = 0; i < N_CONTROL; i++) mpc_uprev[i] = uprev[i];
+}
+
 void mpc_update_parameter(c_float *theta, c_float *state, c_float *reference,
                           c_float *disturbance MPC_PARAM_ARG)
 {
@@ -250,11 +397,15 @@ int mpc_correct_state(c_float *x, c_float *y, c_float *d)
 
 
 def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = "double",
-              iter_limit: int = 1000) -> str:
+              iter_limit: int = 1000, warm_start: bool = False,
+              bnb_node_limit: int = 4096) -> str:
     """Emit self-contained C for the controller; returns the .c path.
 
     Mirrors the data layout of the reference's ``qp2ldp``-generated
-    workspace (src/codegen.jl:239-280) but ships its own solver.
+    workspace (src/codegen.jl:239-280) but ships its own solver, including
+    branch-and-bound for hybrid (binary) problems (reference DAQP_BNB,
+    codegen/mpc_update_qp.c:28-52) and an optional persistent-working-set
+    warm-start mode (reference DAQP_WARMSTART, src/codegen.jl:167-169).
     Unsupported combos raise like the reference (src/codegen.jl:127,210).
     """
     from .ops.ldp import qp2ldp
@@ -265,8 +416,6 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
         raise ValueError("Code generation not supported for disturbance preview with a state observer.")
     # full (uncondensed) reference preview needs no special handling: the
     # reference part of theta is simply ny*Np entries copied verbatim
-    if mpc.mpQP.has_binaries:
-        raise NotImplementedError("C generation for hybrid (binary) problems not yet supported")
 
     ldp = qp2ldp(mpc.mpQP, soft_weight=mpc.settings.soft_weight)
     os.makedirs(dir, exist_ok=True)
@@ -299,7 +448,15 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
         f"#define MPC_ITER_LIMIT {iter_limit}",
         f"#define MPC_PRIMAL_TOL 1e-6",
         f"#define MPC_SIGN_TOL 1e-11",
+        f"#define N_BINARY {int(np.sum(ldp.is_binary))}",
     ]
+    if warm_start:
+        hdr.append("#define MPC_WARMSTART 1")
+    if np.any(ldp.is_binary):
+        hdr += [
+            f"#define MPC_BNB_NODE_LIMIT {bnb_node_limit}",
+            "#define MPC_BNB_BIN_TOL 1e-6",
+        ]
     if np_ > 0:
         hdr += ["#define MPC_PARAM_ARG , c_float *affine_parameter",
                 "#define MPC_PARAM_PASS , affine_parameter"]
@@ -318,7 +475,11 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
         "void mpc_update_parameter(c_float*, c_float*, c_float*, c_float* MPC_PARAM_ARG);",
         "int mpc_solve_ldp(const c_float*, c_float*);",
         "int mpc_compute_control(c_float*, c_float*, c_float*, c_float* MPC_PARAM_ARG);",
+        "int mpc_last_iterations(void);",
+        "void mpc_set_uprev(const c_float*);",
     ]
+    if warm_start:
+        hdr.append("void mpc_reset_warmstart(void);")
 
     src = [f'#include "{fname}.h"', f"c_float mpc_uprev[{max(nu, 1)}];"]
     src.append(_fmt_array("MPC_G", ldp.G, "c_float"))
@@ -332,6 +493,11 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
     src.append(_fmt_int_array("MPC_IMMUTABLE", ldp.is_immutable.astype(int)))
     src.append(_fmt_int_array("MPC_SOFT", ldp.is_soft.astype(int)))
     src.append(_fmt_array("MPC_RHO", ldp.rho_soft, "c_float"))
+    if np.any(ldp.is_binary):
+        bin_idx = np.where(ldp.is_binary)[0]
+        src.append(_fmt_int_array("MPC_BIN_IDX", bin_idx))
+        src.append(_fmt_int_array("MPC_BIN_UP_FINITE", ldp.up_finite[bin_idx].astype(int)))
+        src.append(_fmt_int_array("MPC_BIN_LO_FINITE", ldp.lo_finite[bin_idx].astype(int)))
     if mpc.settings.reference_condensation:
         src.append(_fmt_array("MPC_TRAJ2SETPOINT", mpc.traj2setpoint, "c_float"))
     src.append(_C_PARAMETER)

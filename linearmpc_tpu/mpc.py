@@ -80,7 +80,10 @@ class MPC:
         ``setup!`` + DAQP workspace creation (src/setup.jl:7-29)."""
         self.mpqp_issetup = False
         self.mpQP = _condense.mpc2mpqp(self)
-        ldp = qp2ldp(self.mpQP, soft_weight=self.settings.soft_weight)
+        lex = (self.settings.hierarchy == "lexicographic"
+               and len(self.mpQP.break_points) > 0)
+        ldp = qp2ldp(self.mpQP, soft_weight=self.settings.soft_weight,
+                     priority_separation=1.0 if lex else 1e4)
         opts = dict(self.settings.solver_opts)
         self.engine = SolverEngine(
             ldp,
@@ -92,6 +95,8 @@ class MPC:
             bnb_node_limit=int(opts.get("bnb_node_limit", 4096)),
             symmetric=self.mpQP.is_symmetric,
             polish=opts.get("polish", None),
+            lexicographic=lex,
+            soft_weight=self.settings.soft_weight,
         )
         self.mpqp_issetup = True
         return self

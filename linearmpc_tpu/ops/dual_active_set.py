@@ -63,6 +63,7 @@ class DualState(NamedTuple):
     side: jax.Array   # (m,) bool, True = active at upper bound
     iters: jax.Array  # () int32
     done: jax.Array   # () bool
+    infeas: jax.Array  # () bool: dual-unbounded ray found (primal infeasible)
 
 
 class Solution(NamedTuple):
@@ -72,7 +73,7 @@ class Solution(NamedTuple):
     side: jax.Array    # (m,) bool
     fval: jax.Array    # () objective value
     iters: jax.Array   # () int32
-    status: jax.Array  # () int32: 1 = optimal, -1 = iteration limit
+    status: jax.Array  # () int32: 1 = optimal, -1 = iteration limit, -3 = infeasible
 
 
 def to_device_arrays(ldp: LDPData, dtype=jnp.float64, subset_inv=None) -> LDPArrays:
@@ -142,7 +143,7 @@ def _active_set_loop(
     pow2 = jnp.asarray(2 ** np.arange(m), dtype=jnp.int32) if ldp.subset_inv is not None else None
 
     def body(s: DualState) -> DualState:
-        lam, act, side, it, done = s
+        lam, act, side, it, done, _infeas = s
         actf = act.astype(dtype)
         d_side = jnp.where(side, du_t, dl_t)
         rhs = -actf * d_side
@@ -193,13 +194,13 @@ def _active_set_loop(
         lam = jnp.where(done, lam, new_lam)
         act = jnp.where(done, act, new_act)
         side = jnp.where(done, side, new_side)
-        return DualState(lam, act, side, it + jnp.int32(~done), new_done)
+        return DualState(lam, act, side, it + jnp.int32(~done), new_done, s.infeas)
 
     def cond(s: DualState):
         return (~s.done) & (s.iters < max_iter)
 
     it0 = jnp.int32(0) if iters0 is None else iters0
-    init = DualState(lam, active, side, it0, jnp.asarray(False))
+    init = DualState(lam, active, side, it0, jnp.asarray(False), jnp.asarray(False))
     if unroll > 0:
         final, _ = jax.lax.scan(
             lambda s, _: (body(s), None), init, None, length=max_iter, unroll=unroll
@@ -248,17 +249,36 @@ def _active_set_loop_iu(
     (v_ch = 0), C = [[G_chch - 1, 1], [1, 0]]. The carried inverse R is
     updated by Woodbury: R' = R -/+ (R U)(C^-1 +/- U' R U)^-1 (R U)' --
     two matvecs and an outer product instead of an O(m^3) factorization.
-    Degenerate additions make the 2x2 capacitance singular; the lane then
-    drifts and is repaired by the f64 finishing tiers (same contract as
-    the ridged Cholesky path). Requires a symmetric G_solve.
+
+    Candidate additions follow Goldfarb-Idnani (the scheme DAQP's dual
+    method descends from, Arnstrom et al. TAC 2022): the dual moves along
+    the direction d = sigma * R v (v = working-set rows of G[:, j]), which
+    keeps every working-set row tight while growing the candidate's
+    multiplier. The step is the smaller of t_primal = violation / gamma
+    (gamma = g_jj - v'Rv, the candidate's Schur complement; the full step
+    that lands exactly on the enlarged set's minimizer) and t_dual (the
+    first working-set multiplier driven to zero). A dual-blocked partial
+    step removes the blocking row and KEEPS the candidate pending -- the
+    carried ``pend`` index -- so degenerate geometries (gamma ~ 0, routine
+    once the set size reaches rank(G) = n << m) resolve by shrinking the
+    set until the candidate is supportable, instead of poisoning R with a
+    ~1/gamma Woodbury update or cycling between re-picked rows (the m=48
+    convergence/accuracy hole). gamma <= tol with no dual blocker and a
+    violated candidate is a dual-unbounded ray: primal infeasible
+    (``infeas`` flag, engine status -3). Requires a symmetric G_solve.
     """
     dtype = ldp.G.dtype
     m = ldp.G.shape[0]
     idx = jnp.arange(m)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     eps = jnp.finfo(dtype).eps
-    Gs = ldp.G_solve + (100.0 * m * eps) * jnp.eye(m, dtype=dtype)
+    # a whisper of ridge only: the GI gamma-guard handles degeneracy
+    # structurally, and a large ridge (the masked-Cholesky path's
+    # 100*m*eps) would turn dual-unbounded rays of infeasible instances
+    # into bounded pseudo-solutions, blinding the infeasibility test
+    Gs = ldp.G_solve + (4.0 * eps) * jnp.eye(m, dtype=dtype)
 
+    lam = jnp.where(active, lam, jnp.zeros((), dtype))
     actf0 = active.astype(dtype)
     M0 = Gs * actf0[:, None] * actf0[None, :] + jnp.diag(1.0 - actf0)
     R0 = _masked_inverse(M0)
@@ -277,13 +297,17 @@ def _active_set_loop_iu(
     PREC = jax.lax.Precision.HIGHEST  # TPU default matmul is bf16
 
     def body(s):
-        (lam, act, side, it, done), R = s
+        (lam, act, side, it, done, infeas), R, pend, pend_side = s
+        pending = pend >= 0
         actf = act.astype(dtype)
         d_side = jnp.where(side, du_t, dl_t)
         rhs = -actf * d_side
         lam_star = jnp.dot(R, rhs, precision=PREC)
 
-        sign_viol = act & ~is_eq & jnp.where(side, lam_star < -sign_tol, lam_star > sign_tol)
+        # sign check on the jump target; suspended mid-add (pending mode),
+        # where the GI steps maintain dual feasibility by construction
+        sign_viol = (~pending) & act & ~is_eq & jnp.where(
+            side, lam_star < -sign_tol, lam_star > sign_tol)
         has_viol = jnp.any(sign_viol)
 
         denom = lam - lam_star
@@ -295,27 +319,72 @@ def _active_set_loop_iu(
         lam_B = jnp.where(idx == jb, 0.0, lam_B)
         act_B = act & (idx != jb)
 
-        c = jnp.dot(ldp.G, lam_star, precision=PREC)
+        # working point: the jump in normal mode, the carried GI iterate
+        # (which holds the pending candidate's partial multiplier) mid-add
+        lam_base = jnp.where(pending, lam, jnp.where(act, lam_star, jnp.zeros((), dtype)))
+        c = jnp.dot(ldp.G, lam_base, precision=PREC)
         cand = ~act & ~immut
         v_up = jnp.where(cand, -(du_t + c), -big)
         v_lo = jnp.where(cand, dl_t + c, -big)
         v = jnp.maximum(v_up, v_lo)
-        j = jnp.argmax(v)
-        converged = v[j] <= primal_tol
-        grow = (idx == j) & ~converged
-        act_A = act | grow
-        side_A = jnp.where(grow, v_up[j] >= v_lo[j], side)
-        lam_A = jnp.where(act_A, lam_star, 0.0)
+        j_new = jnp.argmax(v)
+        converged = (~pending) & (v[j_new] <= primal_tol)
 
-        new_lam = jnp.where(has_viol, lam_B, lam_A)
-        new_act = jnp.where(has_viol, act_B, act_A)
-        new_side = jnp.where(has_viol, side, side_A)
-        new_done = done | (~has_viol & converged)
-        changed = (has_viol | ~converged) & ~done
+        j_sel = jnp.where(pending, pend, j_new)
+        side_j = jnp.where(pending, pend_side, v_up[j_new] >= v_lo[j_new])
+        viol_j = jnp.where(side_j, -(du_t[j_sel] + c[j_sel]), dl_t[j_sel] + c[j_sel])
+        # partial steps only reduce the pending violation at rate gamma ~ 0,
+        # but if it does drop below tolerance, stop pushing the candidate
+        drop_pend = pending & (viol_j <= primal_tol)
+
+        # GI step for candidate j_sel: direction keeps working-set rows
+        # tight while growing the candidate's multiplier by sigma * t
+        vj = jnp.where(act & (idx != j_sel), Gs[:, j_sel], jnp.zeros((), dtype))
+        Rvj = jnp.dot(R, vj, precision=PREC)
+        gamma = Gs[j_sel, j_sel] - jnp.dot(vj, Rvj, precision=PREC)
+        gamma_tol = jnp.sqrt(eps)
+        sgn_j = jnp.where(side_j, 1.0, -1.0).astype(dtype)
+        dvec = sgn_j * Rvj
+        t_primal = jnp.where(
+            gamma > gamma_tol,
+            jnp.maximum(viol_j, 0.0) / jnp.maximum(gamma, gamma_tol), big)
+        # dual blockers: working-set multipliers driven toward zero
+        valid_i = act & ~is_eq & jnp.where(side, dvec > 0.0, dvec < 0.0)
+        t_i = jnp.where(valid_i, jnp.maximum(lam_base / jnp.where(dvec == 0.0, 1.0, dvec), 0.0), big)
+        ib = jnp.argmin(t_i)
+        t_dual = t_i[ib]
+        full_add = t_primal <= t_dual
+        t_step = jnp.minimum(t_primal, t_dual)
+        # no finite step and a violated candidate: dual-unbounded ray
+        infeas_now = (~has_viol) & (~converged) & (~drop_pend) & (t_step >= big) & ~done
+        take_step = (~has_viol) & (~converged) & (~drop_pend) & (~infeas_now)
+
+        lam_G = jnp.where(act, lam_base - t_step * dvec, lam_base)
+        lam_G = jnp.where(idx == j_sel, lam_base[j_sel] + sgn_j * t_step, lam_G)
+        lam_G = jnp.where((idx == ib) & ~full_add, 0.0, lam_G)
+        act_G = jnp.where(full_add, act | (idx == j_sel), act & (idx != ib))
+        side_G = jnp.where(full_add & (idx == j_sel), side_j, side)
+        lam_DP = jnp.where(idx == j_sel, 0.0, lam)
+
+        new_lam = jnp.where(has_viol, lam_B,
+                   jnp.where(take_step, lam_G,
+                    jnp.where(drop_pend, lam_DP, lam_base)))
+        new_act = jnp.where(has_viol, act_B, jnp.where(take_step, act_G, act))
+        new_side = jnp.where(has_viol | ~take_step, side, side_G)
+        new_pend = jnp.where(
+            take_step & ~full_add, j_sel.astype(jnp.int32),
+            jnp.where(take_step | drop_pend, jnp.int32(-1), pend))
+        new_pend = jnp.where(done, pend, new_pend)
+        new_pend_side = jnp.where((~done) & take_step, side_j, pend_side)
+        new_done = done | (~has_viol & converged) | infeas_now
+        changed = (has_viol | take_step) & ~done
 
         # rank-2 Woodbury update of R for the single changed row ``ch``
-        ch = jnp.where(has_viol, jb, j)
-        vcol = jnp.where(new_act & (idx != ch), Gs[:, ch], 0.0)
+        # (a full add of j_sel, a blocking removal of jb, or a partial-step
+        # removal of ib)
+        is_rem = has_viol | (take_step & ~full_add)
+        ch = jnp.where(has_viol, jb, jnp.where(full_add, j_sel, ib))
+        vcol = jnp.where(new_act & (idx != ch), Gs[:, ch], jnp.zeros((), dtype))
         gjj = Gs[ch, ch]
         Re = R[:, ch]
         Rv = jnp.dot(R, vcol, precision=PREC)
@@ -324,10 +393,10 @@ def _active_set_loop_iu(
         a21 = jnp.dot(vcol, Re, precision=PREC)
         a22 = jnp.dot(vcol, Rv, precision=PREC)
         # capacitance S = C^-1 +/- U'RU with C^-1 = [[0, 1], [1, 1 - gjj]]
-        S00 = jnp.where(has_viol, -a11, a11)
-        S01 = jnp.where(has_viol, 1.0 - a12, 1.0 + a12)
-        S10 = jnp.where(has_viol, 1.0 - a21, 1.0 + a21)
-        S11 = jnp.where(has_viol, (1.0 - gjj) - a22, (1.0 - gjj) + a22)
+        S00 = jnp.where(is_rem, -a11, a11)
+        S01 = jnp.where(is_rem, 1.0 - a12, 1.0 + a12)
+        S10 = jnp.where(is_rem, 1.0 - a21, 1.0 + a21)
+        S11 = jnp.where(is_rem, (1.0 - gjj) - a22, (1.0 - gjj) + a22)
         det = S00 * S11 - S01 * S10
         det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
         # R' = R - sgn_upd * W S^-1 W', W = [Re Rv]; add subtracts, remove adds
@@ -335,21 +404,23 @@ def _active_set_loop_iu(
         t0 = (S11 * Re - S10 * Rv) / det     # first column of W S^-1
         t1 = (-S01 * Re + S00 * Rv) / det    # second column
         upd = jnp.outer(t0, Re) + jnp.outer(t1, Rv)
-        R_new = jnp.where(has_viol, R + upd, R - upd)
+        R_new = jnp.where(is_rem, R + upd, R - upd)
         R = jnp.where(changed, R_new, R)
 
         lam = jnp.where(done, lam, new_lam)
         act = jnp.where(done, act, new_act)
         side = jnp.where(done, side, new_side)
-        return DualState(lam, act, side, it + jnp.int32(~done), new_done), R
+        return (DualState(lam, act, side, it + jnp.int32(~done), new_done,
+                          infeas | infeas_now), R, new_pend, new_pend_side)
 
     def cond(s):
-        st, R = s
+        st, R, pend, pend_side = s
         return (~st.done) & (st.iters < max_iter)
 
     it0 = jnp.int32(0) if iters0 is None else iters0
-    init = (DualState(lam, active, side, it0, jnp.asarray(False)), R0)
-    final, R = jax.lax.while_loop(cond, body, init)
+    init = (DualState(lam, active, side, it0, jnp.asarray(False),
+                      jnp.asarray(False)), R0, jnp.int32(-1), jnp.asarray(True))
+    final, R, _pend, _ps = jax.lax.while_loop(cond, body, init)
     return (final, R) if return_R else final
 
 
@@ -474,7 +545,8 @@ def solve_single(
     U = ldp.u_off + ldp.Uth_off @ theta_lo - ldp.HinvET @ final.lam
     f_t = ldp.f + ldp.f_theta @ theta_lo
     fval = 0.5 * U @ (ldp.H @ U) + f_t @ U
-    status = jnp.where(final.done, jnp.int32(1), jnp.int32(-1))
+    status = jnp.where(final.infeas, jnp.int32(-3),
+                       jnp.where(final.done, jnp.int32(1), jnp.int32(-1)))
     return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
 
 

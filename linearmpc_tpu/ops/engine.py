@@ -37,8 +37,20 @@ class SolverEngine:
         symmetric: bool = True,
         polish: bool | None = None,
         bulk_unroll: int | None = None,
+        lexicographic: bool = False,
+        soft_weight: float = 1e6,
     ):
         self.ldp = ldp
+        # sequential lexicographic hierarchy (exact DAQP break_points
+        # semantics); when enabled it takes over every solve entry
+        self.lex = None
+        if lexicographic:
+            from .hierarchy import LexSolver
+
+            self.lex = LexSolver(
+                ldp, soft_weight=soft_weight, iter_limit=iter_limit,
+                primal_tol=primal_tol, sign_tol=max(sign_tol, 1e-11),
+            )
         self.dtype = default_dtype() if dtype is None else dtype
         # working-set inverse cache: collapses each iteration's KKT solve to
         # a gather + matvec for small m (see ops/ldp.py)
@@ -111,7 +123,6 @@ class SolverEngine:
             from .dual_active_set import _active_set_loop_iu, finish_from_state
 
             m_iu = ldp.m
-            IU_K = 64          # straggler lanes through the f64 continuation
             REFINE = 6         # Richardson steps (contraction ~1e-2..1e-3/step)
             # R carry is (B, m, m) f32: bound the lane chunk by ~1.5 GB
             self._iu_chunk = max(
@@ -139,6 +150,7 @@ class SolverEngine:
                     )
                 )(du_t, dl_t, lam0, act0, side0)
                 lam32, act, side, iters = st.lam, st.active, st.side, st.iters
+                infeas32 = st.infeas
 
                 f64 = jnp.float64
                 th64 = thetas.astype(f64)
@@ -151,9 +163,9 @@ class SolverEngine:
                     "bij,bj->bi", R, v.astype(jnp.float32), precision=P
                 ).astype(f64)
                 lam = applyR(rhs)
+                mask_apply = lambda v: actf * ((v * actf) @ hi.G_solve.T) + (1.0 - actf) * v
                 for _ in range(REFINE):
-                    Ml = actf * ((lam * actf) @ hi.G_solve.T) + (1.0 - actf) * lam
-                    lam = lam + applyR(rhs - Ml)
+                    lam = lam + applyR(rhs - mask_apply(lam))
                 U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
                 f_t = hi.f + th64 @ hi.f_theta.T
                 fval = 0.5 * jnp.einsum("bi,ij,bj->b", U, hi.H, U) + jnp.sum(f_t * U, axis=1)
@@ -165,30 +177,54 @@ class SolverEngine:
                 primal = jnp.max(jnp.maximum(v_up, v_lo), axis=1)
                 sgn = jnp.max(jnp.where(
                     act & ~hi.is_eq, jnp.where(side, -lam, lam), -jnp.inf), axis=1)
-                bad = jnp.maximum(primal, sgn)
+                # the refinement is only as good as the carried R: a lane
+                # whose Richardson stalled leaves active rows violated, which
+                # primal/sign checks never see -- gate on the system residual
+                sys_res = jnp.max(jnp.abs(mask_apply(lam) - rhs), axis=1)
+                bad = jnp.maximum(jnp.maximum(primal, sgn), sys_res)
 
-                k = min(IU_K, B)
-                bad_top, idx = jax.lax.top_k(bad, k)
-                # straggler continuation in f64 with the same Woodbury-
-                # update iteration (one emulated-f64 masked inverse per
-                # lane at entry, O(m^2) per step) -- a per-iteration
-                # emulated-f64 Cholesky here costs ~1 s/batch
+                # straggler routing, two pools so infeasible-heavy batches
+                # cannot starve the feasible stragglers of f64 budget:
+                #   A. un-certified lanes that f32 did NOT flag infeasible
+                #      (marginal sets, Richardson stalls)
+                #   B. suspected-infeasible lanes (f32 dual-ray detection),
+                #      for a trustworthy f64 verdict
+                k_a = min(max(128, B // 32), B)
+                k_b = min(max(128, B // 64), B)
+                bad_a = jnp.where(infeas32, -jnp.inf, bad)
+                bad_b = jnp.where(infeas32, jnp.inf, -jnp.inf)
+                top_a, idx_a = jax.lax.top_k(bad_a, k_a)
+                top_b, idx_b = jax.lax.top_k(bad_b, k_b)
+                bad_top = jnp.concatenate(
+                    [top_a, jnp.where(jnp.isinf(top_b), jnp.inf, -jnp.inf)])
+                idx = jnp.concatenate([idx_a, idx_b])
+                # straggler re-solve in f64 with the same GI iteration,
+                # from COLD (O(m^2) per step after one masked inverse at
+                # entry). Cold on purpose: the f32 working set of exactly
+                # these lanes is often near-singular (that is why they are
+                # stragglers), and a carried Woodbury inverse initialized
+                # on a dependent set starts with ~1/ridge entries whose
+                # downdates cancel catastrophically. The GI loop's
+                # gamma-guarded adds keep R well-conditioned only for sets
+                # it grew itself, and it converges cold in O(|active set|)
+                # steps.
                 st_fix, _Rf = jax.vmap(
-                    lambda dut, dlt, l0, a0, s0, it0: _active_set_loop_iu(
+                    lambda dut, dlt: _active_set_loop_iu(
                         hi, dut, dlt, hi.is_eq, hi.is_immutable,
-                        l0.astype(f64), a0 | hi.is_eq, s0,
+                        jnp.zeros(m_iu, f64), hi.is_eq, jnp.ones(m_iu, bool),
                         max_iter=bulk_cap + 24, primal_tol=min(self.primal_tol, 1e-6),
-                        sign_tol=1e-11, iters0=it0, return_R=True,
+                        sign_tol=1e-11, return_R=True,
                     )
-                )(du_h[idx], dl_h[idx], lam32[idx], act[idx], side[idx], iters[idx])
+                )(du_h[idx], dl_h[idx])
                 U_fix = hi.u_off + th64[idx] @ hi.Uth_off.T - st_fix.lam @ hi.HinvET.T
                 ft_fix = hi.f + th64[idx] @ hi.f_theta.T
                 fval_fix = (0.5 * jnp.einsum("bi,ij,bj->b", U_fix, hi.H, U_fix)
                             + jnp.sum(ft_fix * U_fix, axis=1))
                 fix = IUSolution(
                     U_fix, st_fix.lam, st_fix.active, st_fix.side, fval_fix,
-                    st_fix.iters,
-                    jnp.where(st_fix.done, jnp.int32(1), jnp.int32(-1)),
+                    iters[idx] + st_fix.iters,
+                    jnp.where(st_fix.infeas, jnp.int32(-3),
+                              jnp.where(st_fix.done, jnp.int32(1), jnp.int32(-1))),
                 )
                 needs_fix = bad_top > 1e-8
                 merge = lambda base, upd: base.at[idx].set(
@@ -417,6 +453,11 @@ class SolverEngine:
     def solve(self, theta) -> tuple[np.ndarray, float, int, dict]:
         in_dtype = jnp.float64 if self.polish else self.dtype
         theta = jnp.asarray(np.asarray(theta, dtype=np.float64), dtype=in_dtype)
+        if self.lex is not None:
+            sol = self.lex.solve(theta)
+            info = {"iterations": int(sol.iters), "lam": np.asarray(sol.lam),
+                    "active": np.asarray(sol.active), "side": np.asarray(sol.side)}
+            return np.asarray(sol.U, dtype=np.float64), float(sol.fval), int(sol.status), info
         if self.has_binaries:
             sol: Solution = self._bnb(self.arrays, self.arrays_hi, theta)
         else:
@@ -436,6 +477,8 @@ class SolverEngine:
         # inside the bulk phase only)
         in_dtype = jnp.float64 if self.polish else self.dtype
         thetas = jnp.asarray(thetas, dtype=in_dtype)
+        if self.lex is not None:
+            return self.lex.solve_batch(thetas)
         if self.has_binaries:
             return self._bnb_batched(self.arrays, self.arrays_hi, thetas)
         if self.use_pallas and self.arrays_hi is not None and thetas.shape[0] % 128 == 0:

@@ -47,6 +47,7 @@ class LDPData:
     lo_finite: np.ndarray    # (m,) bool: lower bound is finite (branchable)
     rho_soft: np.ndarray  # (m,) per-row proximal weight (0 for hard rows)
     scaling: np.ndarray  # (m,) row norms used for normalization
+    prio: np.ndarray | None = None  # (m,) priority level per row
 
     @property
     def m(self) -> int:
@@ -133,6 +134,7 @@ def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True,
         up_finite=mpqp.bu < 1e20, lo_finite=mpqp.bl > -1e20,
         rho_soft=rho,
         scaling=scale,
+        prio=np.asarray(mpqp.prio, dtype=int),
     )
 
 

@@ -104,6 +104,11 @@ class MPCSettings:
     disturbance_preview: bool = False
     parameter_preview: bool = False
     soft_weight: float = 1e6
+    # prioritized soft constraints: "proximal" resolves levels in ONE solve
+    # with geometrically separated soft weights (fast approximation);
+    # "lexicographic" solves levels sequentially with frozen higher-level
+    # violations (exact DAQP break_points semantics, src/mpc2mpqp.jl:859-899)
+    hierarchy: str = "proximal"
     solver_opts: dict = field(default_factory=dict)
     traj2setpoint: np.ndarray = field(default_factory=lambda: np.zeros((0, 0)))
 

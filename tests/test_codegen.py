@@ -200,6 +200,89 @@ def test_profiling_instrument():
 
 
 @needs_gcc
+def test_codegen_warm_start(tmp_path):
+    """Warm-started generated C gives the identical control and converges in
+    fewer iterations on the repeated call (reference DAQP_WARMSTART mode,
+    src/codegen.jl:167-169 and cold-vs-warm test test/runtests.jl:85-117)."""
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    lib = _build(mpc, str(tmp_path), warm_start=True)
+
+    x = [5.0, 5.0, 0.0, 0.0]
+    r = [0.0, 0.0]
+    u_cold = _cc(lib, x, r)
+    it_cold = lib.mpc_last_iterations()
+    assert abs(u_cold[0] - GOLDEN_U) < 1e-6
+    u_warm = _cc(lib, x, r)
+    it_warm = lib.mpc_last_iterations()
+    assert abs(u_warm[0] - u_cold[0]) < 1e-12
+    assert it_warm < it_cold
+
+    # nearby states keep the benefit; answers still match Python
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        xk = np.asarray(x) + rng.uniform(-0.5, 0.5, 4)
+        u_py = mpc.compute_control(xk, r=r, uprev=[0.0])
+        u_c = _cc(lib, xk, r)
+        assert abs(u_py[0] - u_c[0]) < 1e-8
+
+    lib.mpc_reset_warmstart()
+    u_reset = _cc(lib, x, r)
+    assert abs(u_reset[0] - u_cold[0]) < 1e-12
+    assert lib.mpc_last_iterations() == it_cold
+
+
+@needs_gcc
+def test_codegen_closed_loop_uprev(tmp_path):
+    """Closed-loop C rollout with mpc_set_uprev between steps matches the
+    Python loop that threads uprev (Rr makes uprev enter theta)."""
+    import ctypes
+
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    lib = _build(mpc, str(tmp_path), warm_start=True)
+
+    ct = ctypes.c_double
+    x = np.array([2.0, 1.0, 0.0, 0.0])
+    x_py = x.copy()
+    uprev = np.zeros(1)
+    for _ in range(25):
+        u_py = mpc.compute_control(x_py, r=[0.0, 0.0])  # threads mpc.uprev
+        lib.mpc_set_uprev((ct * 1)(*uprev))
+        u_c = _cc(lib, x, [0.0, 0.0])
+        assert abs(u_py[0] - u_c[0]) < 1e-8
+        uprev = np.array([u_c[0]])
+        x = mpc.model.F @ x + mpc.model.G @ uprev
+        x_py = mpc.model.F @ x_py + mpc.model.G @ np.atleast_1d(u_py)
+
+
+@needs_gcc
+def test_codegen_hybrid_bnb(tmp_path):
+    """Hybrid (binary-control) generated C: the embedded branch-and-bound
+    matches the Python B&B path and puts binaries on their bounds
+    (reference test/runtests.jl:836-857, DAQP_BNB)."""
+    mpc, _ = lmpc.mpc_examples("satellite", 10)
+    mpc.setup()
+    assert mpc.mpQP.has_binaries
+    lib = _build(mpc, str(tmp_path))
+
+    rng = np.random.default_rng(11)
+    n_checked = 0
+    for _ in range(12):
+        x = rng.uniform(-0.3, 0.3, 3)
+        r = rng.uniform(-0.4, 0.4, 3)
+        u_py = mpc.compute_control(x, r=r, uprev=np.zeros(3))
+        mpc.uprev = None
+        u_c = _cc(lib, x, r)
+        assert np.max(np.abs(u_py[:3] - u_c[:3])) < 1e-6, (u_py[:3], u_c[:3])
+        for bin_id in mpc.binary_controls:
+            assert (abs(u_c[bin_id] - mpc.umin[bin_id]) < 1e-6
+                    or abs(u_c[bin_id] - mpc.umax[bin_id]) < 1e-6)
+        n_checked += 1
+    assert n_checked == 12
+
+
+@needs_gcc
 def test_codegen_reference_preview_full(tmp_path):
     """C codegen with full (uncondensed) reference preview matches Python
     (reference test/runtests.jl:627-668)."""
