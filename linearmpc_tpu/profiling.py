@@ -76,6 +76,76 @@ def instrument(engine) -> SolveStats:
     return stats
 
 
+# -- roofline / MFU accounting ---------------------------------------------
+#
+# Model FLOP counts for the production Pallas kernels, so benchmarks can
+# report achieved-vs-peak (MFU) instead of bare solves/s. All counts are
+# per LANE per solver ITERATION; multiply by batch x mean iterations.
+# Peaks are matmul peaks for the f32-accurate path: in-kernel dots run at
+# HIGHEST precision, which on this stack decomposes each f32 matmul into
+# ~6 bf16 MXU passes.
+
+V5E_PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16 FLOP/s
+V5E_PEAK_F32_HIGHEST = V5E_PEAK_BF16 / 6.0
+
+
+def phase1_flops_per_lane_iter(m: int, n_subsets: int | None = None) -> float:
+    """Small-m bulk kernel (ops/pallas_solver.py): the subset-inverse
+    gather (m^2, 2^m) @ (2^m, B) dominates; plus G@lam, the one-hot
+    expansion, and three first-hit cumsum matmuls."""
+    n_subsets = 2**m if n_subsets is None else n_subsets
+    gather = 2.0 * m * m * n_subsets   # inv_flat one-hot matmul
+    onehot = 2.0 * n_subsets           # mask expansion row
+    dense = 2.0 * m * m * 8            # G@lam, ltri first-hits, expands
+    return gather + onehot + dense
+
+
+def iu_flops_per_lane_iter(m: int) -> float:
+    """Large-m GI inverse-update kernel (ops/pallas_iu.py): four R-matvecs
+    (tile + group-sum one-hot matmuls, 4 m^3 each) and the rank-2 outer
+    update (8 m^3), plus O(m^2) dense work."""
+    return 24.0 * m**3 + 20.0 * m * m
+
+
+def iu_bytes_per_lane_iter(m: int) -> float:
+    """HBM traffic of the carried inverse per lane-iteration (read+write
+    R in f32); the roofline's memory leg."""
+    return 2.0 * 4.0 * m * m
+
+
+def ds_polish_flops_per_lane(m: int, n: int) -> float:
+    """Double-single polish kernel (ops/pallas_polish.py), once per solve:
+    subset-inverse gather + double-single (Dekker/Veltkamp EFT, ~4x plain
+    f32 ops) masked re-solve, primal recovery, and KKT residual."""
+    gather = 2.0 * m * m * (2**m)
+    eft = 4.0 * (2.0 * m * m + 4.0 * n * m + 2.0 * m * m)
+    return gather + eft
+
+
+def mfu_report(
+    solves_per_s: float,
+    mean_iters: float,
+    flops_per_lane_iter: float,
+    *,
+    peak_flops: float = V5E_PEAK_F32_HIGHEST,
+    bytes_per_lane_iter: float = 0.0,
+    peak_bytes: float = 819e9,  # v5e HBM bandwidth
+) -> dict:
+    """Achieved FLOP/s and MFU for a measured throughput, with the memory
+    leg when the kernel carries per-lane state through HBM."""
+    fl = solves_per_s * mean_iters * flops_per_lane_iter
+    out = {
+        "achieved_flops": fl,
+        "mfu": fl / peak_flops,
+        "model_flops_per_solve": mean_iters * flops_per_lane_iter,
+    }
+    if bytes_per_lane_iter:
+        bw = solves_per_s * mean_iters * bytes_per_lane_iter
+        out["achieved_bytes_per_s"] = bw
+        out["hbm_util"] = bw / peak_bytes
+    return out
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """XLA profiler trace around a block (view with TensorBoard/XProf)."""

@@ -96,7 +96,10 @@ def host_jacobian(fun, z0: np.ndarray) -> np.ndarray:
     import jax
 
     z0 = np.asarray(z0, dtype=np.float64)
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: under multi-process jax.distributed the
+    # first global device may belong to another process, whose results this
+    # process cannot read back (tests/distributed_worker.py)
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.enable_x64(True):
         with jax.default_device(cpu):
             J = jax.jacfwd(fun)(z0)
