@@ -128,6 +128,78 @@ def main():
     except Exception as e:  # rollout bench is auxiliary
         log(f"rollout bench skipped: {e}")
 
+    # MFU / roofline accounting for the production bulk kernel
+    try:
+        from linearmpc_tpu.profiling import (
+            V5E_PEAK_F32_HIGHEST, mfu_report, phase1_flops_per_lane_iter)
+
+        mean_it = float(np.mean(np.asarray(sol.iters)))
+        rep = mfu_report(solves_per_s, mean_it,
+                         phase1_flops_per_lane_iter(engine.ldp.m))
+        log(f"roofline (phase-1 kernel model): {rep['achieved_flops']/1e12:.2f} TFLOP/s "
+            f"achieved, MFU {rep['mfu']*100:.1f}% of f32-HIGHEST peak "
+            f"({V5E_PEAK_F32_HIGHEST/1e12:.0f} TF); "
+            f"{rep['model_flops_per_solve']/1e3:.1f} kFLOP/solve")
+    except Exception as ex:
+        log(f"roofline skipped: {ex}")
+
+    # ---- large-m problem (m = 48: invpend + state constraints over the
+    # horizon) -- the regime beyond the subset cache, served by the Pallas
+    # GI inverse-update kernel (VERDICT r1 #1/#2); regression-tracked in
+    # the JSON line
+    largem = {}
+    try:
+        from linearmpc_tpu.profiling import iu_bytes_per_lane_iter, iu_flops_per_lane_iter
+
+        mpc_l, _ = lmpc.mpc_examples("invpend", 30, 8)
+        mpc_l.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
+                             ks=range(2, 12))
+        mpc_l.setup(dtype=engine.dtype)
+        e_l = mpc_l.engine
+        B_l = 8192
+        batches_l = [jnp.asarray(np.hstack([
+            rng.uniform(-12, 12, (B_l, 4)), rng.uniform(-12, 12, (B_l, 2)),
+            rng.uniform(-2, 2, (B_l, 1)),
+        ]), jnp.float64) for _ in range(8)]
+        for b in batches_l:
+            b.block_until_ready()
+        sol_l = e_l.solve_batch(batches_l[0])
+        sol_l.U.block_until_ready()
+        st_l = np.asarray(sol_l.status)
+        best_l = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs_l = [e_l.solve_batch(b) for b in batches_l]
+            outs_l[-1].U.block_until_ready()
+            best_l = min(best_l, (time.perf_counter() - t0) / len(batches_l))
+        sps_l = B_l / best_l
+        err_l = 0.0
+        n_ref = 0
+        for i in range(128):
+            U_ref, *_r, s_ref = solve_ldp_numpy(e_l.ldp, np.asarray(batches_l[0][i], np.float64))
+            if s_ref == 1:
+                n_ref += 1
+                err_l = max(err_l, float(np.max(np.abs(
+                    np.asarray(sol_l.U[i], np.float64) - U_ref))))
+        resolved = float(np.mean(st_l != -1))
+        mean_it_l = float(np.mean(np.asarray(sol_l.iters)))
+        rep_l = mfu_report(sps_l, mean_it_l, iu_flops_per_lane_iter(e_l.ldp.m),
+                           bytes_per_lane_iter=iu_bytes_per_lane_iter(e_l.ldp.m))
+        log(f"large-m (m={e_l.ldp.m}, pallas_iu={getattr(e_l, 'use_iu_pallas', False)}): "
+            f"{sps_l:,.0f} solves/s, resolved {resolved:.4f} "
+            f"(opt {np.mean(st_l == 1):.4f} / infeas {np.mean(st_l == -3):.4f}), "
+            f"max err {err_l:.2e} over {n_ref} oracle-feasible; "
+            f"roofline {rep_l['achieved_flops']/1e12:.2f} TFLOP/s "
+            f"(MFU {rep_l['mfu']*100:.1f}%)")
+        largem = {
+            "largem_m": int(e_l.ldp.m),
+            "largem_solves_per_s": round(sps_l, 1),
+            "largem_resolved_frac": resolved,
+            "largem_max_control_error": err_l,
+        }
+    except Exception as ex:
+        log(f"large-m bench skipped: {ex}")
+
     # single-instance latency vs the Ts = 0.01 s real-time budget
     th1 = batches[0][:1]
     engine.solve_batch(th1).U.block_until_ready()
@@ -151,6 +223,7 @@ def main():
         "max_control_error": err,
         "mean_batch_latency_s": per_batch,
         "single_solve_p99_s": lat_p99,
+        **largem,
     }))
 
 

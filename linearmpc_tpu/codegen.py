@@ -582,31 +582,65 @@ def load_compiled(path: str):
 
 
 _C_EXPLICIT = r"""
-/* Explicit MPC: first region containing theta wins; the fallback is the
- * region with the smallest violation (boundary jitter). */
+/* Explicit MPC point location.
+ *
+ * BST descent (O(depth), exact LP-classified splits -- every region that
+ * intersects a leaf cell is in the leaf's list, the role of the
+ * reference's ParametricDAQP-generated tree, src/codegen.jl:62-137), then
+ * a scan of the <= leaf-size candidate regions. A numerically-marginal
+ * miss falls back to the best-violation candidate seen, and only then to
+ * the full O(R) scan. */
+static c_float empc_region_violation(int r, const c_float *theta)
+{
+    const int row0 = EMPC_ROW_OFFSET[r];
+    const int rows = EMPC_ROW_OFFSET[r + 1] - row0;
+    c_float viol = (c_float)-1e30;
+    int i, j;
+    for (i = 0; i < rows; i++) {
+        c_float acc = -EMPC_BTH[row0 + i];
+        for (j = 0; j < N_THETA; j++)
+            acc += EMPC_ATH[(size_t)(row0 + i) * N_THETA + j] * theta[j];
+        if (acc > viol) viol = acc;
+    }
+    return viol;
+}
+
 int mpc_compute_control(c_float *control, c_float *state, c_float *reference,
                         c_float *disturbance MPC_PARAM_ARG)
 {
     c_float theta[N_THETA];
-    int r, i, j, best = -1;
+    int r, i, j, k, best = -1;
     c_float best_viol = (c_float)1e30;
 
     mpc_update_parameter(theta, state, reference, disturbance MPC_PARAM_PASS);
 
-    for (r = 0; r < N_REGIONS; r++) {
-        const int row0 = EMPC_ROW_OFFSET[r];
-        const int rows = EMPC_ROW_OFFSET[r + 1] - row0;
-        c_float viol = (c_float)-1e30;
-        for (i = 0; i < rows; i++) {
-            c_float acc = -EMPC_BTH[row0 + i];
-            for (j = 0; j < N_THETA; j++)
-                acc += EMPC_ATH[(size_t)(row0 + i) * N_THETA + j] * theta[j];
-            if (acc > viol) viol = acc;
+    /* BST descent */
+    int node = 0;
+    for (i = 0; i <= EMPC_BST_DEPTH && node >= 0; i++) {
+        c_float acc = -EMPC_BST_B[node];
+        for (j = 0; j < N_THETA; j++)
+            acc += EMPC_BST_A[(size_t)node * N_THETA + j] * theta[j];
+        node = EMPC_BST_KIDS[2 * node + (acc > (c_float)0.0 ? 1 : 0)];
+    }
+    if (node < 0) {
+        const int leaf = -node - 1;
+        for (k = EMPC_LEAF_OFFSET[leaf]; k < EMPC_LEAF_OFFSET[leaf + 1]; k++) {
+            r = EMPC_LEAF_REGIONS[k];
+            c_float viol = empc_region_violation(r, theta);
+            if (viol <= (c_float)1e-8) { best = r; goto found; }
+            if (viol < best_viol) { best_viol = viol; best = r; }
         }
+        if (best >= 0 && best_viol <= (c_float)1e-5) goto found; /* jitter */
+    }
+
+    /* full-scan fallback (theta outside every leaf candidate) */
+    for (r = 0; r < N_REGIONS; r++) {
+        c_float viol = empc_region_violation(r, theta);
         if (viol <= (c_float)1e-8) { best = r; break; }
         if (viol < best_viol) { best_viol = viol; best = r; }
     }
     if (best < 0) return -1;
+found:
     for (i = 0; i < N_CONTROL; i++) {
         c_float u = EMPC_G[(size_t)best * N_CONTROL + i];
         for (j = 0; j < N_THETA; j++)
@@ -673,12 +707,24 @@ def codegen_c_explicit(empc, dir: str, *, fname: str = "empc_workspace",
         f"#endif /* {fname.upper()}_H */",
     ]
 
+    # O(log R) point location: exact-split BST (explicit.py build_tree)
+    bst_A, bst_b, bst_kids, leaf_off, leaf_reg, bst_depth, _root = empc.bst_arrays()
+    hdr.insert(hdr.index(f"#define N_REGIONS {R}") + 1,
+               f"#define EMPC_BST_DEPTH {int(bst_depth)}")
+
     src = [f'#include "{fname}.h"', f"c_float mpc_uprev[{max(nu, 1)}];"]
     src.append(_fmt_int_array("EMPC_ROW_OFFSET", offsets))
     src.append(_fmt_array("EMPC_ATH", np.vstack(Ath_rows), "c_float"))
     src.append(_fmt_array("EMPC_BTH", np.concatenate(bth_rows), "c_float"))
     src.append(_fmt_array("EMPC_F", np.stack(Fs), "c_float"))
     src.append(_fmt_array("EMPC_G", np.stack(gs), "c_float"))
+    src.append(_fmt_array("EMPC_BST_A", bst_A, "c_float"))
+    src.append(_fmt_array("EMPC_BST_B", np.where(np.isfinite(bst_b), bst_b, 1e30),
+                          "c_float"))
+    src.append(_fmt_int_array("EMPC_BST_KIDS", bst_kids.ravel()))
+    src.append(_fmt_int_array("EMPC_LEAF_OFFSET", leaf_off))
+    src.append(_fmt_int_array("EMPC_LEAF_REGIONS",
+                              leaf_reg if len(leaf_reg) else [0]))
     if mpc is not None and mpc.settings.reference_condensation:
         src.append(_fmt_array("MPC_TRAJ2SETPOINT", mpc.traj2setpoint, "c_float"))
     src.append(_C_PARAMETER)

@@ -215,45 +215,215 @@ class ExplicitMPC:
 
     # -- binary search tree (host point location; reference build_tree!,
     #    src/explicit.jl:65-71 -- the batched TPU path uses evaluate_batch)
-    def build_tree(self, *, leaf_size: int = 2, max_depth: int = 32):
-        hyperplanes = []
-        for cr in self.regions:
+    def build_tree(self, *, leaf_size: int = 2, max_depth: int = 32,
+                   max_cand: int = 64, lp_tol: float = 1e-9):
+        """Exact point-location BST over the region partition.
+
+        Region-vs-hyperplane sides are classified EXACTLY (ParametricDAQP's
+        generated-C role, reference src/codegen.jl:62-137): a region goes
+        only to the low (high) branch when it provably lies in the closed
+        halfspace, else to both. Proof ladder, cheapest first, all memoized:
+          1. the region's inscribed ball straddles the plane -> 'both';
+          2. the region's bounding box (2 nth LPs once per region) lies in
+             one halfspace -> one-sided;
+          3. an exact support LP  max/min a'theta  over the region.
+        Every leaf therefore contains every region intersecting its cell:
+        descent + leaf scan is exact up to LP tolerance, and the C emission
+        (codegen_c_explicit) evaluates in O(depth + leaf_size) per step.
+        """
+        from scipy.optimize import linprog
+
+        nth = self.nth
+        regions = self.regions
+        Rn = len(regions)
+        bounds = [(float(l), float(u)) for l, u in zip(self.lb, self.ub)]
+
+        # unique hyperplane pool (normalized rows; canonical sign)
+        pool, seen = [], {}
+        region_faces = []
+        for cr in regions:
+            faces = []
             for row, rhs in zip(cr.Ath, cr.bth):
-                hyperplanes.append((row, rhs))
+                nrm = float(np.linalg.norm(row))
+                if nrm <= 1e-12:
+                    continue
+                a, b = row / nrm, float(rhs) / nrm
+                s = 1.0 if (a[np.argmax(np.abs(a) > 1e-12)] >= 0) else -1.0
+                key = tuple(np.round(np.append(a * s, b * s), 9))
+                hid = seen.get(key)
+                if hid is None:
+                    hid = len(pool)
+                    seen[key] = hid
+                    pool.append((a * s, b * s))
+                faces.append(hid)
+            region_faces.append(faces)
+
+        # per-region certified extents (memoized): inscribed ball, box
+        radius = np.full(Rn, -1.0)
+        boxes: list = [None] * Rn
+
+        def _ball(rid):
+            if radius[rid] < 0:
+                r, c = _chebyshev_radius(regions[rid].Ath, regions[rid].bth,
+                                         self.lb, self.ub)
+                radius[rid] = max(r, 0.0)
+                if c is not None:
+                    regions[rid].center = c
+            return radius[rid], regions[rid].center
+
+        def _box(rid):
+            if boxes[rid] is None:
+                cr = regions[rid]
+                lo = np.empty(nth)
+                hi_b = np.empty(nth)
+                for i in range(nth):
+                    e = np.zeros(nth)
+                    e[i] = 1.0
+                    res = linprog(e, A_ub=cr.Ath, b_ub=cr.bth, bounds=bounds,
+                                  method="highs")
+                    lo[i] = res.x[i] if res.success else self.lb[i]
+                    res = linprog(-e, A_ub=cr.Ath, b_ub=cr.bth, bounds=bounds,
+                                  method="highs")
+                    hi_b[i] = res.x[i] if res.success else self.ub[i]
+                boxes[rid] = (lo, hi_b)
+            return boxes[rid]
+
+        side_memo: dict = {}
+
+        def classify(rid, hid):
+            """-1 = region in low halfspace, +1 = high, 0 = straddles."""
+            k = (rid, hid)
+            if k in side_memo:
+                return side_memo[k]
+            a, b = pool[hid]
+            r, c = _ball(rid)
+            out = None
+            if c is not None:
+                mgn = float(a @ c - b)
+                if abs(mgn) < r - lp_tol:
+                    out = 0  # inscribed ball straddles: certified
+            if out is None:
+                lo, hi_b = _box(rid)
+                ctr, half = (lo + hi_b) / 2, (hi_b - lo) / 2
+                mid = float(a @ ctr - b)
+                ext = float(np.abs(a) @ half)
+                if mid + ext <= lp_tol:
+                    out = -1
+                elif mid - ext >= -lp_tol:
+                    out = 1
+            if out is None:
+                cr = regions[rid]
+                res = linprog(-a, A_ub=cr.Ath, b_ub=cr.bth, bounds=bounds,
+                              method="highs")
+                maxv = float(a @ res.x - b) if res.success else np.inf
+                if maxv <= lp_tol:
+                    out = -1
+                else:
+                    res = linprog(a, A_ub=cr.Ath, b_ub=cr.bth, bounds=bounds,
+                                  method="highs")
+                    minv = float(a @ res.x - b) if res.success else -np.inf
+                    out = 1 if minv >= -lp_tol else 0
+            side_memo[k] = out
+            return out
 
         def build(region_ids, depth):
             if len(region_ids) <= leaf_size or depth >= max_depth:
                 return ("leaf", region_ids)
+            # candidates: faces of the node's own regions, most shared first
+            counts: dict = {}
+            for rid in region_ids:
+                for hid in region_faces[rid]:
+                    counts[hid] = counts.get(hid, 0) + 1
+            cands = sorted(counts, key=counts.get, reverse=True)[:max_cand]
+            # two-phase selection keeps the LP count tractable: score every
+            # candidate by the FREE center-side balance, then classify only
+            # the most-balanced few exactly
+            centers = np.stack([
+                _ball(rid)[1] if _ball(rid)[1] is not None else np.zeros(nth)
+                for rid in region_ids])
+            scored = []
+            for hid in cands:
+                a, b = pool[hid]
+                mgn = centers @ a - b
+                n_lo, n_hi = int((mgn <= 0).sum()), int((mgn > 0).sum())
+                scored.append((max(n_lo, n_hi), hid))
+            scored.sort()
             best = None
-            rng = np.random.default_rng(depth)
-            cand_ids = rng.choice(len(hyperplanes), size=min(32, len(hyperplanes)), replace=False)
-            for hid in cand_ids:
-                a, b = hyperplanes[hid]
+            for _h_score, hid in scored[:8]:
                 lo, hi_ = [], []
                 for rid in region_ids:
-                    cr = self.regions[rid]
-                    vals = [a @ cr.center - b] if cr.center is not None else [0.0]
-                    # classify by testing the region's probe center; straddle
-                    # handled by duplicating into both branches when margin small
-                    mgn = vals[0]
-                    r_est = _region_radius(cr)
-                    if mgn < -r_est:
+                    s = classify(rid, hid)
+                    if s <= 0:
                         lo.append(rid)
-                    elif mgn > r_est:
+                    if s >= 0:
                         hi_.append(rid)
-                    else:
-                        lo.append(rid)
-                        hi_.append(rid)
-                score = -max(len(lo), len(hi_))
-                if best is None or score > best[0]:
-                    best = (score, a, b, lo, hi_)
-            _, a, b, lo, hi_ = best
-            if len(lo) == len(region_ids) and len(hi_) == len(region_ids):
+                worst = max(len(lo), len(hi_))
+                if worst >= len(region_ids):
+                    continue  # no progress on this plane
+                score = (worst, len(lo) + len(hi_))
+                if best is None or score < best[0]:
+                    best = (score, hid, lo, hi_)
+            if best is None:
+                # the balanced-looking planes all failed to split: fall back
+                # to the widest exact sweep before giving up on the node
+                for _h_score, hid in scored[8:]:
+                    lo, hi_ = [], []
+                    for rid in region_ids:
+                        s = classify(rid, hid)
+                        if s <= 0:
+                            lo.append(rid)
+                        if s >= 0:
+                            hi_.append(rid)
+                    if max(len(lo), len(hi_)) < len(region_ids):
+                        best = ((max(len(lo), len(hi_)), len(lo) + len(hi_)),
+                                hid, lo, hi_)
+                        break
+            if best is None:
                 return ("leaf", region_ids)
+            _, hid, lo, hi_ = best
+            a, b = pool[hid]
             return ("node", a, b, build(lo, depth + 1), build(hi_, depth + 1))
 
-        self.bst = build(list(range(len(self.regions))), 0)
+        self.bst = build(list(range(Rn)), 0)
         return self.bst
+
+    def bst_arrays(self):
+        """Flatten the BST into arrays for C emission / inspection:
+        (A (n_nodes, nth), b (n_nodes,), kids (n_nodes, 2) with negative
+        ``-(leaf_id+1)``, leaf_offsets, leaf_regions, depth)."""
+        if self.bst is None:
+            self.build_tree()
+        As, bs, kids = [], [], []
+        leaf_off, leaf_reg = [0], []
+
+        def walk(node):
+            if node[0] == "leaf":
+                leaf_reg.extend(node[1])
+                leaf_off.append(len(leaf_reg))
+                return -(len(leaf_off) - 1)  # -(leaf_id + 1)
+            _, a, b, lo, hi_ = node
+            my = len(As)
+            As.append(a)
+            bs.append(b)
+            kids.append([0, 0])
+            kids[my][0] = walk(lo)
+            kids[my][1] = walk(hi_)
+            return my
+
+        root = walk(self.bst)
+        if not As:  # single-leaf tree
+            As.append(np.zeros(self.nth))
+            bs.append(np.inf)
+            kids.append([-1, -1])
+        depth = 0
+
+        def _d(node):
+            return 1 + max(_d(node[3]), _d(node[4])) if node[0] == "node" else 0
+
+        depth = _d(self.bst)
+        return (np.asarray(As), np.asarray(bs), np.asarray(kids, dtype=int),
+                np.asarray(leaf_off, dtype=int), np.asarray(leaf_reg, dtype=int),
+                depth, root)
 
     def evaluate_tree(self, theta):
         """BST descent + candidate check (falls back to full scan on miss)."""

@@ -11,6 +11,15 @@ thousands of instances run in lockstep under ``vmap``: lanes that finish
 early are masked out by the ``while_loop`` batching rule. Branching picks
 the most fractional unfixed binary row; children are pushed so the bound
 nearer the relaxed solution is explored first.
+
+Child nodes are WARM-STARTED from the parent relaxation's multipliers and
+working set (DAQP reuses its workspace across nodes the same way,
+reference src/utils.jl:277-282 node cleanup): the child problem differs
+from the parent only in one row's bounds, so the parent's working set is
+one or two active-set changes from the child's optimum. The dual method
+accepts any starting working set -- the first iteration re-solves the
+masked system exactly -- so warm starts change iteration counts, never
+solutions.
 """
 
 from __future__ import annotations
@@ -26,6 +35,9 @@ from .dual_active_set import LDPArrays, Solution, solve_single
 class BnBState(NamedTuple):
     stack_fixed: jax.Array  # (cap, m) bool
     stack_side: jax.Array   # (cap, m) bool
+    stack_lam: jax.Array    # (cap, m) warm-start multipliers (parent node)
+    stack_act: jax.Array    # (cap, m) bool warm-start working set
+    stack_ws: jax.Array     # (cap, m) bool warm-start working-set sides
     top: jax.Array          # () int32
     inc_fval: jax.Array     # () incumbent objective
     inc_U: jax.Array        # (n,)
@@ -48,6 +60,7 @@ def solve_bnb_single(
     sign_tol: float = 1e-12,
     bin_tol: float = 1e-6,
     use_cholesky: bool = True,
+    warm_nodes: bool = True,
 ) -> Solution:
     """Solve one hybrid LDP instance. Wrap in ``jax.vmap`` for batches."""
     dtype = ldp.G.dtype
@@ -67,8 +80,13 @@ def solve_bnb_single(
         side = s.stack_side[node_idx]
         top = s.top - 1
 
+        warm = dict(
+            lam0=s.stack_lam[node_idx],
+            active0=s.stack_act[node_idx],
+            side0=s.stack_ws[node_idx],
+        ) if warm_nodes else {}
         sol = solve_single(
-            ldp, theta,
+            ldp, theta, **warm,
             max_iter=max_iter, primal_tol=primal_tol, sign_tol=sign_tol,
             forced_mask=fixed, forced_side=side, use_cholesky=use_cholesky,
         )
@@ -104,17 +122,29 @@ def solve_bnb_single(
         far_side = jnp.where(onehot, ~near_up, side)
         near_side = jnp.where(onehot, near_up, side)
         far_viable = jnp.where(near_up, ldp.lo_finite[jb], ldp.up_finite[jb])
+        # children inherit the parent relaxation's dual state; the branched
+        # row's working-set side follows the bound it is being forced to
+        w_lam, w_act = sol.lam, sol.active
+        w_side_far = jnp.where(onehot, ~near_up, sol.side)
+        w_side_near = jnp.where(onehot, near_up, sol.side)
 
-        def push(stack_fixed, stack_side, top, fix, sd, do):
-            sf = jnp.where(do, stack_fixed.at[top].set(fix), stack_fixed)
-            ss = jnp.where(do, stack_side.at[top].set(sd), stack_side)
-            return sf, ss, top + jnp.int32(do)
+        def push(st, top, fix, sd, wl, wa, ws, do):
+            sf, ss, sl, sa, sw = st
+            sf = jnp.where(do, sf.at[top].set(fix), sf)
+            ss = jnp.where(do, ss.at[top].set(sd), ss)
+            sl = jnp.where(do, sl.at[top].set(wl), sl)
+            sa = jnp.where(do, sa.at[top].set(wa), sa)
+            sw = jnp.where(do, sw.at[top].set(ws), sw)
+            return (sf, ss, sl, sa, sw), top + jnp.int32(do)
 
-        sf, ss, top = push(s.stack_fixed, s.stack_side, top, child_fixed, far_side, branch & far_viable)
-        sf, ss, top = push(sf, ss, top, child_fixed, near_side, branch & (top < stack_cap))
+        st = (s.stack_fixed, s.stack_side, s.stack_lam, s.stack_act, s.stack_ws)
+        st, top = push(st, top, child_fixed, far_side, w_lam, w_act, w_side_far,
+                       branch & far_viable)
+        st, top = push(st, top, child_fixed, near_side, w_lam, w_act, w_side_near,
+                       branch & (top < stack_cap))
 
         return BnBState(
-            sf, ss, top, inc_fval, inc_U, inc_lam, inc_active, inc_side,
+            *st, top, inc_fval, inc_U, inc_lam, inc_active, inc_side,
             inc_found, s.nodes + 1, s.iters + sol.iters,
         )
 
@@ -124,7 +154,10 @@ def solve_bnb_single(
     init = BnBState(
         stack_fixed=jnp.zeros((stack_cap, m), dtype=bool),
         stack_side=jnp.zeros((stack_cap, m), dtype=bool),
-        top=jnp.int32(1),  # root node: nothing fixed
+        stack_lam=jnp.zeros((stack_cap, m), dtype=dtype),
+        stack_act=jnp.zeros((stack_cap, m), dtype=bool),
+        stack_ws=jnp.ones((stack_cap, m), dtype=bool),
+        top=jnp.int32(1),  # root node: nothing fixed, cold start
         inc_fval=big,
         inc_U=jnp.zeros(n, dtype=dtype),
         inc_lam=jnp.zeros(m, dtype=dtype),

@@ -272,7 +272,7 @@ class SolverEngine:
                 #      (marginal sets, Richardson stalls)
                 #   B. suspected-infeasible lanes (f32 dual-ray detection),
                 #      for a trustworthy f64 verdict
-                k_a = min(max(128, B // 32), B)
+                k_a = min(max(128, B // 64), B)
                 k_b = min(max(128, B // 64), B)
                 bad_a = jnp.where(infeas32, -jnp.inf, bad)
                 bad_b = jnp.where(infeas32, jnp.inf, -jnp.inf)
@@ -283,14 +283,13 @@ class SolverEngine:
                 idx = jnp.concatenate([idx_a, idx_b])
                 # straggler re-solve in f64 with the same GI iteration,
                 # from COLD (O(m^2) per step after one masked inverse at
-                # entry). Cold on purpose: the f32 working set of exactly
-                # these lanes is often near-singular (that is why they are
-                # stragglers), and a carried Woodbury inverse initialized
-                # on a dependent set starts with ~1/ridge entries whose
-                # downdates cancel catastrophically. The GI loop's
-                # gamma-guarded adds keep R well-conditioned only for sets
-                # it grew itself, and it converges cold in O(|active set|)
-                # steps.
+                # entry). Cold on purpose: (a) a carried Woodbury inverse
+                # initialized on a near-singular f32 working set starts at
+                # ~1/ridge and cancels catastrophically, and (b) the
+                # alternative warm exact continuation (_active_set_loop)
+                # refactorizes the masked system in emulated-f64 Cholesky
+                # every iteration -- measured 50 ms SLOWER than the cold GI
+                # on the m=48 batch even at a handful of warm iterations.
                 st_fix, _Rf = jax.vmap(
                     lambda dut, dlt: _active_set_loop_iu(
                         hi, dut, dlt, hi.is_eq, hi.is_immutable,

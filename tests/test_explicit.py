@@ -167,3 +167,42 @@ def test_explicit_game_theoretic():
     assert np.max(np.abs(sim_imp.us - sim_exp.us)) < 1e-4
     assert abs(sim_exp.ys[0, -1] - 10.0) < 1e-4
     assert abs(sim_exp.ys[1, -1]) < 1e-4
+
+
+def test_bst_exact_descent():
+    """Exact LP-classified splits: for every sampled theta, the BST leaf's
+    candidate list contains the region holding theta (no full-scan
+    fallback needed), and the leaf evaluation matches the linear scan."""
+    mpc, rng_box = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng_box)
+    empc.build_tree(leaf_size=3)
+    A, b, kids, leaf_off, leaf_reg, depth, _root = empc.bst_arrays()
+    assert depth <= 32 and len(leaf_off) >= 2
+    rng = np.random.default_rng(11)
+    n_checked = 0
+    for _ in range(200):
+        theta = np.concatenate([
+            rng.uniform(-15, 15, 4), rng.uniform(-15, 15, 2), rng.uniform(-2, 2, 1),
+        ])
+        u_scan = empc.evaluate(theta)
+        if u_scan is None:
+            continue
+        # descend
+        node = 0
+        for _d in range(depth + 1):
+            node = kids[node, 1] if A[node] @ theta - b[node] > 0 else kids[node, 0]
+            if node < 0:
+                break
+        assert node < 0, "descent must end in a leaf"
+        leaf = -node - 1
+        cands = leaf_reg[leaf_off[leaf]:leaf_off[leaf + 1]]
+        hit = [r for r in cands
+               if np.max(empc.regions[r].Ath @ theta - empc.regions[r].bth,
+                         initial=-np.inf) <= 1e-8]
+        assert hit, "leaf must contain the region holding theta"
+        cr = empc.regions[hit[0]]
+        u_leaf = cr.F[:empc.nu] @ theta + cr.g[:empc.nu]
+        assert np.allclose(u_leaf, u_scan, atol=1e-9)
+        n_checked += 1
+    assert n_checked > 120

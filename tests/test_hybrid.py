@@ -142,3 +142,34 @@ def test_control_trajectory():
     utraj = mpc.compute_control_trajectory(x)
     assert len(utraj) == 5
     assert np.allclose(u, utraj[:1])
+
+
+def test_bnb_warm_start_matches_cold():
+    """Warm-starting child nodes from the parent relaxation (DAQP-style
+    workspace reuse) must not change solutions, only iteration counts."""
+    import jax
+
+    import linearmpc_tpu as lmpc
+    from linearmpc_tpu.ops.bnb import solve_bnb_single
+
+    mpc, _ = lmpc.mpc_examples("satellite")
+    mpc.setup()
+    e = mpc.engine
+    assert e.has_binaries
+    rng = np.random.default_rng(3)
+    nth = e.ldp.n_theta
+    kw = dict(stack_cap=16, node_limit=1024)
+
+    warm_it = cold_it = 0
+    for _ in range(12):
+        th = rng.uniform(-1.5, 1.5, nth)
+        sw = jax.jit(lambda t: solve_bnb_single(e.arrays, t, warm_nodes=True, **kw))(th)
+        sc = jax.jit(lambda t: solve_bnb_single(e.arrays, t, warm_nodes=False, **kw))(th)
+        assert int(sw.status) == int(sc.status)
+        if int(sc.status) == 1:
+            assert abs(float(sw.fval) - float(sc.fval)) < 1e-7
+            assert np.max(np.abs(np.asarray(sw.U) - np.asarray(sc.U))) < 1e-6
+        warm_it += int(sw.iters)
+        cold_it += int(sc.iters)
+    # the point of warm starts: fewer total inner iterations
+    assert warm_it < cold_it, (warm_it, cold_it)
