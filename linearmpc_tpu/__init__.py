@@ -33,6 +33,7 @@ from .types import (
     MPQP,
     ParameterRange,
 )
+from .utils.formatting import label2id, make_subscript, prettify_parameter_label
 from .utils.linalg import dare, kalman_gain, matrixify, zoh
 from .explicit import ExplicitMPC, build_explicit, make_singlesided
 from .certify import CertificationResult, certify
@@ -49,6 +50,7 @@ __all__ = [
     "MPC", "Model", "Labels", "make_model", "model_from_continuous",
     "model_from_nonlinear", "linearize", "mpc2mpqp", "get_parameter_dims",
     "get_parameter_names", "get_affine_parameter_base_dim",
+    "label2id", "prettify_parameter_label", "make_subscript",
     "KalmanFilter", "OffsetFreeObserver", "Scenario", "Simulation",
     "simulate", "simulate_kw", "get_preview", "Constraint", "MPCWeights",
     "MPCSettings", "MPQP", "ParameterRange", "constraint_tightening",

@@ -160,7 +160,10 @@ def certify(mpc, *, prange=None, AS0=(), iter_limit: int = 60,
                 # borderline, stalled (large gap), or non-finite lanes go
                 # to the exact host LP -- an off-by-more-than-tol radius
                 # here would prune certification branches unsoundly
-                if (not np.isfinite(r) or abs(r - region_tol) < 1e-6
+                # 1e-4 window: on near-parallel-row geometries the IPM radius
+                # can be off by a few 1e-6 at tiny duality gap (QR-IPM note
+                # in ops/lp_ipm.py); only the host LP certifies the sign there
+                if (not np.isfinite(r) or abs(r - region_tol) < 1e-4
                         or gaps[k] > 1e-9):
                     r, c = _chebyshev_radius(Af, bf, lb, ub)
                     r = -np.inf if c is None else r

@@ -215,7 +215,7 @@ class ExplicitMPC:
 
     # -- binary search tree (host point location; reference build_tree!,
     #    src/explicit.jl:65-71 -- the batched TPU path uses evaluate_batch)
-    def build_tree(self, *, leaf_size: int = 2, max_depth: int = 32,
+    def build_tree(self, *, leaf_size: int = 16, max_depth: int = 24,
                    max_cand: int = 64, lp_tol: float = 1e-9):
         """Exact point-location BST over the region partition.
 
@@ -231,12 +231,9 @@ class ExplicitMPC:
         descent + leaf scan is exact up to LP tolerance, and the C emission
         (codegen_c_explicit) evaluates in O(depth + leaf_size) per step.
         """
-        from scipy.optimize import linprog
-
         nth = self.nth
         regions = self.regions
         Rn = len(regions)
-        bounds = [(float(l), float(u)) for l, u in zip(self.lb, self.ub)]
 
         # unique hyperplane pool (normalized rows; canonical sign)
         pool, seen = [], {}
@@ -258,73 +255,108 @@ class ExplicitMPC:
                 faces.append(hid)
             region_faces.append(faces)
 
-        # per-region certified extents (memoized): inscribed ball, box
-        radius = np.full(Rn, -1.0)
-        boxes: list = [None] * Rn
+        # per-region certified data, computed through the BATCHED IPM LP
+        # oracle (ops/lp_ipm.py) -- thousands of scipy calls would dominate
+        # the build otherwise. Classification stays SOUND because only
+        # one-sided verdicts need certification (duality-gap-certified
+        # bounds); any LP uncertainty degrades to 'both', which only makes
+        # leaves fatter, never wrong.
+        from .ops.lp_ipm import chebyshev_batch, support_batch
 
-        def _ball(rid):
-            if radius[rid] < 0:
-                r, c = _chebyshev_radius(regions[rid].Ath, regions[rid].bth,
-                                         self.lb, self.ub)
-                radius[rid] = max(r, 0.0)
-                if c is not None:
-                    regions[rid].center = c
-            return radius[rid], regions[rid].center
-
-        def _box(rid):
-            if boxes[rid] is None:
-                cr = regions[rid]
-                lo = np.empty(nth)
-                hi_b = np.empty(nth)
-                for i in range(nth):
-                    e = np.zeros(nth)
-                    e[i] = 1.0
-                    res = linprog(e, A_ub=cr.Ath, b_ub=cr.bth, bounds=bounds,
-                                  method="highs")
-                    lo[i] = res.x[i] if res.success else self.lb[i]
-                    res = linprog(-e, A_ub=cr.Ath, b_ub=cr.bth, bounds=bounds,
-                                  method="highs")
-                    hi_b[i] = res.x[i] if res.success else self.ub[i]
-                boxes[rid] = (lo, hi_b)
-            return boxes[rid]
+        mrow = max([len(cr.bth) for cr in regions] + [1])
+        As_all = np.zeros((Rn, mrow, nth))
+        bs_all = np.ones((Rn, mrow))
+        for i, cr in enumerate(regions):
+            if len(cr.bth):
+                As_all[i, : len(cr.bth)] = cr.Ath
+                bs_all[i, : len(cr.bth)] = cr.bth
+        ball_r, cents, _gaps = chebyshev_batch(As_all, bs_all, self.lb, self.ub)
+        ball_r = np.maximum(ball_r, 0.0)
+        for i, cr in enumerate(regions):
+            if cr.center is None and ball_r[i] > 0:
+                cr.center = cents[i]
+        # a usable interior start must be strictly inside region and box
+        slack_min = np.min(bs_all - np.einsum("rmn,rn->rm", As_all, cents), axis=1)
+        interior = (ball_r > 1e-9) & (slack_min > 1e-11) \
+            & np.all(cents > self.lb + 1e-11, axis=1) \
+            & np.all(cents < self.ub - 1e-11, axis=1)
+        # certified OUTER bounding boxes: 2*nth batched support LPs
+        box_lo = np.tile(self.lb, (Rn, 1))
+        box_hi = np.tile(self.ub, (Rn, 1))
+        for i in range(nth):
+            e = np.zeros((Rn, nth))
+            e[:, i] = 1.0
+            val, slack, _g = support_batch(As_all, bs_all, self.lb, self.ub, e, cents)
+            lo_cert = np.maximum(val - slack, self.lb[i])
+            val, slack, _g = support_batch(As_all, bs_all, self.lb, self.ub, -e, cents)
+            hi_cert = np.minimum(-val + slack, self.ub[i])
+            box_lo[:, i] = np.where(interior, lo_cert, self.lb[i])
+            box_hi[:, i] = np.where(interior, hi_cert, self.ub[i])
+        # certification slack: duality gap + headroom for the IPM's
+        # geometry-limited accuracy on near-parallel rows (ops/lp_ipm.py);
+        # looseness only classifies more pairs 'both' (fatter leaves)
+        cert_tol = max(lp_tol, 1e-6)
 
         side_memo: dict = {}
 
-        def classify(rid, hid):
-            """-1 = region in low halfspace, +1 = high, 0 = straddles."""
-            k = (rid, hid)
-            if k in side_memo:
-                return side_memo[k]
-            a, b = pool[hid]
-            r, c = _ball(rid)
-            out = None
-            if c is not None:
-                mgn = float(a @ c - b)
-                if abs(mgn) < r - lp_tol:
-                    out = 0  # inscribed ball straddles: certified
-            if out is None:
-                lo, hi_b = _box(rid)
-                ctr, half = (lo + hi_b) / 2, (hi_b - lo) / 2
+        def classify_pairs(pairs):
+            """Resolve (rid, hid) pairs into side_memo: -1 low / +1 high /
+            0 straddles. Cheap ladder first; survivors share one batched
+            support-LP call."""
+            need = []
+            for rid, hid in pairs:
+                if (rid, hid) in side_memo:
+                    continue
+                a, b = pool[hid]
+                mgn = float(a @ cents[rid] - b)
+                if ball_r[rid] > 0 and abs(mgn) < ball_r[rid] - lp_tol:
+                    side_memo[(rid, hid)] = 0  # inscribed ball straddles
+                    continue
+                ctr = (box_lo[rid] + box_hi[rid]) / 2
+                half = (box_hi[rid] - box_lo[rid]) / 2
                 mid = float(a @ ctr - b)
                 ext = float(np.abs(a) @ half)
-                if mid + ext <= lp_tol:
-                    out = -1
-                elif mid - ext >= -lp_tol:
-                    out = 1
-            if out is None:
-                cr = regions[rid]
-                res = linprog(-a, A_ub=cr.Ath, b_ub=cr.bth, bounds=bounds,
-                              method="highs")
-                maxv = float(a @ res.x - b) if res.success else np.inf
-                if maxv <= lp_tol:
-                    out = -1
+                if mid + ext <= cert_tol:
+                    side_memo[(rid, hid)] = -1
+                    continue
+                if mid - ext >= -cert_tol:
+                    side_memo[(rid, hid)] = 1
+                    continue
+                if not interior[rid]:
+                    side_memo[(rid, hid)] = 0  # degenerate region: be safe
+                    continue
+                need.append((rid, hid, mgn < 0))
+            if not need:
+                return
+            rids = np.asarray([p[0] for p in need])
+            cs = np.stack([
+                -pool[hid][0] if try_lo else pool[hid][0]
+                for _rid, hid, try_lo in need])
+            # pad the lane count to a power-of-two bucket: every distinct
+            # batch size retraces the jitted IPM, and node-local batches
+            # come in hundreds of sizes
+            nb = len(need)
+            bucket = max(64, 1 << (nb - 1).bit_length())
+            pad = bucket - nb
+            if pad:
+                rids = np.concatenate([rids, np.repeat(rids[-1], pad)])
+                cs = np.vstack([cs, np.tile(cs[-1], (pad, 1))])
+            val, slack, _g = support_batch(
+                As_all[rids], bs_all[rids], self.lb, self.ub, cs, cents[rids])
+            for k, (rid, hid, try_lo) in enumerate(need):
+                b = pool[hid][1]
+                if try_lo:
+                    # certified upper bound of max a'theta over the region
+                    side_memo[(rid, hid)] = -1 if (-val[k] + slack[k] - b
+                                                   <= cert_tol) else 0
                 else:
-                    res = linprog(a, A_ub=cr.Ath, b_ub=cr.bth, bounds=bounds,
-                                  method="highs")
-                    minv = float(a @ res.x - b) if res.success else -np.inf
-                    out = 1 if minv >= -lp_tol else 0
-            side_memo[k] = out
-            return out
+                    side_memo[(rid, hid)] = 1 if (val[k] - slack[k] - b
+                                                  >= -cert_tol) else 0
+
+        def classify(rid, hid):
+            if (rid, hid) not in side_memo:
+                classify_pairs([(rid, hid)])
+            return side_memo[(rid, hid)]
 
         def build(region_ids, depth):
             if len(region_ids) <= leaf_size or depth >= max_depth:
@@ -337,10 +369,8 @@ class ExplicitMPC:
             cands = sorted(counts, key=counts.get, reverse=True)[:max_cand]
             # two-phase selection keeps the LP count tractable: score every
             # candidate by the FREE center-side balance, then classify only
-            # the most-balanced few exactly
-            centers = np.stack([
-                _ball(rid)[1] if _ball(rid)[1] is not None else np.zeros(nth)
-                for rid in region_ids])
+            # the most-balanced few exactly (one batched LP call per node)
+            centers = cents[np.asarray(region_ids)]
             scored = []
             for hid in cands:
                 a, b = pool[hid]
@@ -348,8 +378,18 @@ class ExplicitMPC:
                 n_lo, n_hi = int((mgn <= 0).sum()), int((mgn > 0).sum())
                 scored.append((max(n_lo, n_hi), hid))
             scored.sort()
-            best = None
-            for _h_score, hid in scored[:8]:
+            classify_pairs([(rid, hid) for _s, hid in scored[:8]
+                            for rid in region_ids])
+            nS = len(region_ids)
+            # a split must make real progress: straddling regions are
+            # DUPLICATED into both branches, and accepting barely-shrinking
+            # splits explodes the tree (observed 97k-255k nodes for ~650
+            # regions with weaker guards); demand the larger branch strip
+            # >= 25% of the node, else leaf out -- the C evaluator's leaf
+            # scan is cheap, exploding trees are not
+            min_progress = nS - max(2, nS // 4)
+
+            def exact_split(hid):
                 lo, hi_ = [], []
                 for rid in region_ids:
                     s = classify(rid, hid)
@@ -358,25 +398,22 @@ class ExplicitMPC:
                     if s >= 0:
                         hi_.append(rid)
                 worst = max(len(lo), len(hi_))
-                if worst >= len(region_ids):
-                    continue  # no progress on this plane
-                score = (worst, len(lo) + len(hi_))
-                if best is None or score < best[0]:
-                    best = (score, hid, lo, hi_)
+                if worst > min_progress:
+                    return None
+                dup = len(lo) + len(hi_) - nS
+                return (worst + 0.5 * dup, hid, lo, hi_)
+
+            best = None
+            for _h_score, hid in scored[:8]:
+                cand = exact_split(hid)
+                if cand and (best is None or cand[0] < best[0]):
+                    best = cand
             if best is None:
-                # the balanced-looking planes all failed to split: fall back
-                # to the widest exact sweep before giving up on the node
+                # the balanced-looking planes all failed: one wider exact
+                # sweep before giving up on the node
                 for _h_score, hid in scored[8:]:
-                    lo, hi_ = [], []
-                    for rid in region_ids:
-                        s = classify(rid, hid)
-                        if s <= 0:
-                            lo.append(rid)
-                        if s >= 0:
-                            hi_.append(rid)
-                    if max(len(lo), len(hi_)) < len(region_ids):
-                        best = ((max(len(lo), len(hi_)), len(lo) + len(hi_)),
-                                hid, lo, hi_)
+                    best = exact_split(hid)
+                    if best is not None:
                         break
             if best is None:
                 return ("leaf", region_ids)
@@ -646,7 +683,10 @@ def build_explicit(mpc, *, prange=None, max_regions: int = 10000,
             r, center = rs[k], centers[k]
             # borderline, stalled (large complementarity gap), or
             # non-converged lanes: confirm on the host LP
-            if (not np.isfinite(r) or abs(r - region_tol) < 1e-6
+            # 1e-4 window: on near-parallel-row geometries the IPM radius
+            # can be off by a few 1e-6 at tiny duality gap (QR-IPM note
+            # in ops/lp_ipm.py); only the host LP certifies the sign there
+            if (not np.isfinite(r) or abs(r - region_tol) < 1e-4
                     or gaps[k] > 1e-9):
                 r, center = _chebyshev_radius(bi[1], bi[2], lb, ub)
                 if center is None:

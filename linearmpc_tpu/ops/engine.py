@@ -150,7 +150,8 @@ class SolverEngine:
 
             _no_eq = not bool(np.asarray(ldp.is_eq).any())
 
-            def _iu_phase1_pallas(arr, du_t, dl_t, lam0, act0, side0, bulk_cap):
+            def _iu_phase1_pallas(arr, du_t, dl_t, lam0, act0, side0, bulk_cap,
+                                  R0c=None):
                 """Pallas GI bulk phase: ``lax.map`` over VMEM-bounded lane
                 chunks (ONE traced chunk program), each an early-exit
                 while_loop over the fused iteration kernel. Returns
@@ -172,26 +173,35 @@ class SolverEngine:
                         a = jnp.concatenate([a, a[:pad]])
                     return a.reshape((nc, CH) + a.shape[1:])
 
+                carried_R = R0c is not None
                 if cold:
                     chunk_in = (resh(du_t), resh(dl_t))
+                elif carried_R:
+                    chunk_in = (resh(du_t), resh(dl_t),
+                                resh(lam0.astype(jnp.float32)),
+                                resh(act0 | arr.is_eq), resh(side0), resh(R0c))
                 else:
                     chunk_in = (resh(du_t), resh(dl_t),
                                 resh(lam0.astype(jnp.float32)),
                                 resh(act0 | arr.is_eq), resh(side0))
 
                 def one_chunk(args):
+                    R0 = None
                     if cold:
                         du_c, dl_c = args
                         l0 = jnp.zeros((CH, m_iu), jnp.float32)
                         a0 = jnp.broadcast_to(arr.is_eq, (CH, m_iu))
                         s0 = jnp.ones((CH, m_iu), bool)
+                    elif carried_R:
+                        du_c, dl_c, l0, a0, s0, R0 = args
                     else:
                         du_c, dl_c, l0, a0, s0 = args
-                    if cold and _no_eq:
-                        R0 = jnp.broadcast_to(
-                            jnp.eye(m_iu, dtype=jnp.float32), (CH, m_iu, m_iu))
-                    else:
-                        R0 = init_R_batch(arr.G_solve, a0)
+                    if R0 is None:
+                        if cold and _no_eq:
+                            R0 = jnp.broadcast_to(
+                                jnp.eye(m_iu, dtype=jnp.float32), (CH, m_iu, m_iu))
+                        else:
+                            R0 = init_R_batch(arr.G_solve, a0)
                     return phase1_iu_pallas_while(
                         arr.G, softd, du_c, dl_c, eqf, immutf,
                         l0, a0.astype(jnp.float32), s0.astype(jnp.float32), R0,
@@ -328,6 +338,70 @@ class SolverEngine:
                 )
 
             self._iu_batched = jax.jit(_iu_batch)
+
+            if self.use_iu_pallas and not self.has_binaries:
+                REFINE_ROLL = 4
+
+                def _fused_rollout_solve_iu(thetas, lam0, act0, side0, R0):
+                    """Warm-started large-m solve for use INSIDE a traced
+                    closed-loop scan: the GI Pallas bulk phase warm-starts
+                    from the previous step's multipliers, working set AND
+                    carried inverse R (DAQP keeps its LDL' factor across
+                    calls the same way), then a short f64 Richardson with
+                    the fresh R recovers e-9-accurate controls. Returns
+                    (U_f32, lam, act, side, iters, status, R)."""
+                    B = thetas.shape[0]
+                    th32 = thetas.astype(jnp.float32)
+                    arr = self.arrays
+                    hi = self.arrays_hi
+                    du_t = arr.du + jnp.dot(th32, arr.Dth.T, precision=P)
+                    dl_t = arr.dl + jnp.dot(th32, arr.Dth.T, precision=P)
+                    bulk_cap = min(self.iter_limit, 2 * m_iu + 24)
+                    (lam32, act, side, iters, done, infeas32), R = _iu_phase1_pallas(
+                        arr, du_t, dl_t, lam0, act0, side0, bulk_cap, R0c=R0)
+                    # one Newton-Schulz pass keeps the carried inverse from
+                    # drifting over hundreds of warm-started steps:
+                    # R <- R (2I - M R) with M the masked system of act
+                    actf32 = act.astype(jnp.float32)
+                    eps32 = np.float32(np.finfo(np.float32).eps)
+                    Gs32 = arr.G_solve + (4.0 * eps32) * jnp.eye(m_iu, dtype=jnp.float32)
+                    M = (Gs32 * actf32[:, :, None] * actf32[:, None, :]
+                         + jax.vmap(jnp.diag)(1.0 - actf32))
+                    MR = jnp.einsum("bij,bjk->bik", M, R, precision=P)
+                    eye32 = jnp.eye(m_iu, dtype=jnp.float32)
+                    R = jnp.einsum("bij,bjk->bik", R, 2.0 * eye32 - MR, precision=P)
+
+                    f64 = jnp.float64
+                    th64 = thetas.astype(f64)
+                    du_h = hi.du + th64 @ hi.Dth.T
+                    dl_h = hi.dl + th64 @ hi.Dth.T
+                    actf = act.astype(f64)
+                    d_side = jnp.where(side, du_h, dl_h)
+                    rhs = -actf * d_side
+                    applyR = lambda v: jnp.einsum(
+                        "bij,bj->bi", R, v.astype(jnp.float32), precision=P
+                    ).astype(f64)
+                    lam = applyR(rhs)
+                    mask_apply = lambda v: (
+                        actf * ((v * actf) @ hi.G_solve.T) + (1.0 - actf) * v)
+                    for _ in range(REFINE_ROLL):
+                        lam = lam + applyR(rhs - mask_apply(lam))
+                    U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
+                    sys_res = jnp.max(jnp.abs(mask_apply(lam) - rhs), axis=1)
+                    status = jnp.where(
+                        infeas32, jnp.int32(-3),
+                        jnp.where(done & (sys_res <= 1e-6), jnp.int32(1),
+                                  jnp.int32(-1)))
+                    return (U.astype(jnp.float32), lam.astype(jnp.float32),
+                            act, side, iters, status, R)
+
+                self.fused_rollout_solve_iu = _fused_rollout_solve_iu
+                self.iu_R0_init = lambda B: (
+                    jnp.broadcast_to(jnp.eye(m_iu, dtype=jnp.float32),
+                                     (B, m_iu, m_iu)) if _no_eq
+                    else init_R_batch(
+                        self.arrays.G_solve,
+                        jnp.broadcast_to(self.arrays.is_eq, (B, m_iu))))
 
         # fused Pallas bulk phase: each solver iteration is ONE gridless
         # kernel over the lane-major batch, looped by lax.scan outside

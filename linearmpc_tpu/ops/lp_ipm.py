@@ -46,21 +46,39 @@ def lp_ipm_batch(A, b, c, x0, *, n_iter: int = 40):
     s0 = b - jnp.einsum("bmn,bn->bm", A, x0)
     lam0 = jnp.ones((B, m), dtype)
 
-    ridge = jnp.asarray(1e-12, dtype)
     eye = jnp.eye(n, dtype=dtype)
 
     def body(_, state):
         x, s, lam = state
         # s stays exactly primal-feasible: A dx + ds = 0 throughout
+        s = jnp.maximum(s, 1e-14)                     # guard divisions
         d = lam / s                                   # (B, m)
         mu = jnp.mean(lam * s, axis=1, keepdims=True)
         sigma = jnp.asarray(0.2, dtype)
         r_d = c + jnp.einsum("bmn,bm->bn", A, lam)    # dual residual
-        # normal equations: (A' D A + ridge) dx = -r_d - A'(sigma mu / s - lam)
-        M = jnp.einsum("bmn,bm,bmk->bnk", A, d, A) + ridge * eye
         rhs = -r_d - jnp.einsum("bmn,bm->bn", A, sigma * mu / s - lam)
-        L = jnp.linalg.cholesky(M)
-        dx = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+        # Newton system (A' D A) dx = rhs, solved through a batched QR of
+        # W = sqrt(D) A instead of a Cholesky of the explicitly-formed
+        # normal matrix: enumerated region descriptions routinely carry
+        # near-duplicate rows, where the normal-equation Cholesky either
+        # emits NaNs (tiny ridge) or, with a ridge big enough to survive,
+        # converges to a visibly WRONG optimum that the duality gap cannot
+        # see (observed: claimed radius -9.5e-6 for a region whose true
+        # Chebyshev radius is +1.0e-5, gap 5e-17). QR keeps the working
+        # conditioning at cond(W), and the appended sqrt(ridge) I rows --
+        # ridge ~1e-13 of the matrix scale -- only guard exact rank
+        # deficiency without biasing thin-region geometry.
+        W = jnp.sqrt(d)[..., None] * A                # (B, m, n)
+        tr = jnp.sum(W * W, axis=(1, 2), keepdims=True) / n
+        W_aug = jnp.concatenate(
+            [W, jnp.sqrt(1e-13 * tr + 1e-30) * eye[None, :, :]
+             * jnp.ones((B, 1, 1), dtype)], axis=1)
+        Rq = jnp.linalg.qr(W_aug, mode="r")           # (B, n, n)
+        from jax.scipy.linalg import solve_triangular
+
+        y = solve_triangular(
+            jnp.swapaxes(Rq, -1, -2), rhs[..., None], lower=True)
+        dx = solve_triangular(Rq, y, lower=False)[..., 0]
         ds = -jnp.einsum("bmn,bn->bm", A, dx)
         dlam = (sigma * mu - lam * (s + ds)) / s
 
@@ -80,6 +98,45 @@ def lp_ipm_batch(A, b, c, x0, *, n_iter: int = 40):
     obj = jnp.sum(c * x, axis=1)
     gap = jnp.sum(lam * s, axis=1) / m
     return x, obj, gap
+
+
+def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
+    """Batched support LP: min c'th over {A th <= b} ∩ [lb, ub].
+
+    Args:
+      As: (B, m, nth) rows with zero-row padding (matching bs >= 1);
+      bs: (B, m);
+      lb, ub: (nth,) box;
+      cs: (B, nth) per-lane objectives;
+      x0: (B, nth) strictly interior starts (e.g. Chebyshev centers).
+    Returns (val, slack_tot, gap): primal objective values (an upper bound
+    on the true minimum; the certified lower bound is ``val - slack_tot``
+    where slack_tot = m_total * gap bounds the duality gap), and the raw
+    mean complementarity gap. Lanes whose start is not strictly interior
+    or whose gap stays large must be routed to an exact host LP.
+    """
+    As = np.asarray(As, dtype=np.float64)
+    bs = np.asarray(bs, dtype=np.float64)
+    B, m, nth = As.shape
+    lb = np.asarray(lb, dtype=np.float64)
+    ub = np.asarray(ub, dtype=np.float64)
+
+    box_A = np.zeros((2 * nth, nth))
+    box_b = np.zeros(2 * nth)
+    for i in range(nth):
+        box_A[2 * i, i] = 1.0
+        box_b[2 * i] = ub[i]
+        box_A[2 * i + 1, i] = -1.0
+        box_b[2 * i + 1] = -lb[i]
+    A = np.concatenate([As, np.broadcast_to(box_A, (B, 2 * nth, nth))], axis=1)
+    b = np.concatenate([bs, np.broadcast_to(box_b, (B, 2 * nth))], axis=1)
+
+    x, obj, gap = lp_ipm_batch(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(cs, dtype=jnp.float64),
+        jnp.asarray(x0, dtype=jnp.float64), n_iter=n_iter,
+    )
+    m_total = m + 2 * nth
+    return np.asarray(obj), m_total * np.asarray(gap), np.asarray(gap)
 
 
 def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):

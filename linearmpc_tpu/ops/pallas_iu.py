@@ -311,6 +311,10 @@ def _build_call(m, B, primal_tol, sign_tol, gamma_tol, interpret):
         in_specs=[vm()] * 16,
         out_specs=[vm()] * 7,
         out_shape=out_shape,
+        # the default 16M scoped-vmem limit leaves no headroom when the
+        # kernel sits inside a larger program (the rollout scan missed it
+        # by 112K at m=48, chunk 128); the physical budget is larger
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )
 

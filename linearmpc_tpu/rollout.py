@@ -112,16 +112,23 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
         nxo = 0
 
     m = arrays.G.shape[0]
-    # TPU fused path: early-exit Pallas bulk phase + double-single polish
-    # per scan step (no f64 work); requires the lane batch to be a
-    # multiple of 128
+    # TPU fused paths (lane batch must be a multiple of 128):
+    #  * small m: early-exit Pallas bulk phase + double-single polish per
+    #    scan step (no f64 work);
+    #  * large m: warm-started GI inverse-update kernel with the carried
+    #    masked inverse R riding the scan carry (DAQP warm-start analog),
+    #    plus a short f64 Richardson per step.
     fused_solve = getattr(engine, "fused_rollout_solve", None)
+    fused_solve_iu = getattr(engine, "fused_rollout_solve_iu", None)
     if polish is not None and not polish:
         fused_solve = None
+        fused_solve_iu = None
 
     def rollout(x0s, rs=None, ds=None, ps=None, N: int = 100):
         B = x0s.shape[0]
         use_fused = fused_solve is not None and B % 128 == 0
+        use_fused_iu = (not use_fused and fused_solve_iu is not None
+                        and B % 128 == 0)
         x0s = jnp.asarray(x0s, dtype)
 
         # normalize trajectories to (B, N + Np + 1, *) with hold-last padding
@@ -153,7 +160,7 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
             return jax.lax.dynamic_slice_in_dim(traj, k0, width, axis=1)
 
         def step(carry, _):
-            x, xo, uprev, lam, act, side, kk = carry
+            x, xo, uprev, lam, act, side, Rc, kk = carry
             d_k = jax.lax.dynamic_slice_in_dim(ds, kk, 1, axis=1)[:, 0, :]
 
             y_m = x @ C.T + h_off + (d_k @ Dd.T if nd_sim else 0.0)
@@ -193,8 +200,14 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
                     parts.append(jax.lax.dynamic_slice_in_dim(ps, kk, 1, axis=1)[:, 0, :])
             theta = jnp.concatenate(parts, axis=1)
 
+            Rc_n = Rc
             if use_fused:
                 U, lam_n, act_n, side_n, iters_n, status_n = fused_solve(theta, lam, act, side)
+                sol_lam, sol_active, sol_side = lam_n, act_n, side_n
+                u = U[:, :nu].astype(dtype) - xhat @ K.T
+            elif use_fused_iu:
+                U, lam_n, act_n, side_n, iters_n, status_n, Rc_n = (
+                    fused_solve_iu(theta, lam, act, side, Rc))
                 sol_lam, sol_active, sol_side = lam_n, act_n, side_n
                 u = U[:, :nu].astype(dtype) - xhat @ K.T
             else:
@@ -209,16 +222,19 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
                 xo = xo @ oF.T + u @ oG.T + of + (d_k @ oGd.T if nd_sim else 0.0)
 
             x_next = x @ Fp.T + u @ Gp.T + fp + (d_k @ Gd.T if nd_sim else 0.0)
-            carry = (x_next, xo, u, sol_lam.astype(dtype), sol_active, sol_side, kk + 1)
+            carry = (x_next, xo, u, sol_lam.astype(dtype), sol_active, sol_side,
+                     Rc_n, kk + 1)
             return carry, (x, u, y_m, iters_n, status_n)
 
         xo0 = jnp.zeros((B, nxo), dtype)
         if has_obs:
             xo0 = xo0.at[:, :nx].set(x0s)
+        R0 = (engine.iu_R0_init(B) if use_fused_iu
+              else jnp.zeros((B, 0, 0), jnp.float32))
         carry0 = (
             x0s, xo0, jnp.zeros((B, nu), dtype),
             jnp.zeros((B, m), dtype), jnp.zeros((B, m), dtype=bool),
-            jnp.ones((B, m), dtype=bool), jnp.int32(0),
+            jnp.ones((B, m), dtype=bool), R0, jnp.int32(0),
         )
         carry, (xs, us, ys, iters, status) = jax.lax.scan(step, carry0, None, length=N)
         return RolloutResult(

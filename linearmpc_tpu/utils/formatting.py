@@ -157,3 +157,41 @@ def form_parameter(mpc, x, r=None, d=None, uprev=None, p=None) -> np.ndarray:
     up = mpc.uprev[:nuprev] if uprev is None else np.asarray(uprev, dtype=np.float64).ravel()[:nuprev]
     p_vec = format_affine_parameters(mpc, p)
     return np.concatenate([x, r_vec, d_vec, up, p_vec])
+
+
+# -- parameter-label helpers (reference src/utils.jl:301-325) ---------------
+
+def prettify_parameter_label(label: str) -> str:
+    """Render a theta-entry name for plot axes: trailing 'p' (previous
+    control) becomes a '^-' superscript, trailing 'r' (reference) '^r',
+    and previewed references 'yr_k' become 'y^r_k'."""
+    import re
+
+    s = str(label)
+    if re.search(r"r_\d+$", s):
+        base, step = s.rsplit("_", 1)
+        return f"{base[:-1]}^r_{step}"
+    if s.endswith("p"):
+        return s[:-1] + "^-"
+    if s.endswith("r"):
+        return s[:-1] + "^r"
+    return s
+
+
+def label2id(mpc, label: str):
+    """(index into theta, prettified label) for a named parameter entry;
+    index is None when the label is unknown."""
+    names = mpc.get_parameter_names()
+    try:
+        idx = names.index(str(label))
+    except ValueError:
+        return None, str(label)
+    return idx, prettify_parameter_label(str(label))
+
+
+def make_subscript(label: str) -> str:
+    """Insert an underscore before the first digit: 'x1' -> 'x_1'."""
+    for i, ch in enumerate(str(label)):
+        if ch.isdigit():
+            return f"{label[:i]}_{label[i:]}"
+    return str(label)

@@ -109,3 +109,36 @@ def test_iu_pallas_agrees_with_xla_iu_path():
     ok = (np.asarray(sol_p.status) == 1) & (np.asarray(sol_x.status) == 1)
     assert np.mean(ok) > 0.9
     assert np.max(np.abs(np.asarray(sol_p.U)[ok] - np.asarray(sol_x.U)[ok])) < 1e-7
+
+
+def test_iu_fused_rollout_matches_xla(iu_pallas_env):
+    """Large-m fused rollout (warm-started GI kernel, carried R in the scan
+    carry) must produce the same closed-loop controls as the XLA
+    solve_single rollout path."""
+    import jax.numpy as jnp
+
+    from linearmpc_tpu.rollout import build_rollout
+
+    mpc = _largem_mpc()
+    mpc.setup(dtype=jnp.float32)
+    assert hasattr(mpc.engine, "fused_rollout_solve_iu")
+    roll_fused = build_rollout(mpc)
+
+    mpc2 = _largem_mpc()
+    os.environ["LINEARMPC_TPU_IUPALLAS"] = "0"
+    try:
+        mpc2.setup(dtype=jnp.float32)
+        assert not getattr(mpc2.engine, "use_iu_pallas", False)
+        roll_xla = build_rollout(mpc2)
+    finally:
+        os.environ["LINEARMPC_TPU_IUPALLAS"] = "interpret"
+
+    rng = np.random.default_rng(5)
+    B, N = 128, 6
+    x0s = rng.uniform(-3, 3, (B, 4))
+    rs = np.zeros((B, 2))
+    rf = roll_fused(x0s, rs, None, N=N)
+    rx = roll_xla(x0s, rs, None, N=N)
+    assert np.mean(np.asarray(rf.status) == 1) > 0.99
+    assert np.max(np.abs(np.asarray(rf.us) - np.asarray(rx.us))) < 1e-5
+    assert np.max(np.abs(np.asarray(rf.xs) - np.asarray(rx.xs))) < 1e-4

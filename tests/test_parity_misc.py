@@ -214,3 +214,19 @@ def test_setup_warning_branches():
     mpc2 = MPC.from_discrete([[1.0]], [[1.0]], C=[[1.0]])
     mpc2.settings.reference_tracking = True
     assert mpc2.set_terminal_cost() is False  # warns + refuses for tracking
+
+
+def test_label_helpers():
+    """label2id / prettify_parameter_label / make_subscript (reference
+    src/utils.jl:301-325)."""
+    import linearmpc_tpu as lmpc
+
+    mpc, _ = lmpc.mpc_examples("invpend")
+    idx, pretty = lmpc.label2id(mpc, "y1r")
+    assert idx == 4 and pretty == "y1^r"
+    idx, pretty = lmpc.label2id(mpc, "u1p")
+    assert idx == 6 and pretty == "u1^-"
+    assert lmpc.label2id(mpc, "bogus") == (None, "bogus")
+    assert lmpc.prettify_parameter_label("y2r_5") == "y2^r_5"
+    assert lmpc.make_subscript("x12") == "x_12"
+    assert lmpc.make_subscript("phi") == "phi"
