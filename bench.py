@@ -197,8 +197,58 @@ def main():
             "largem_resolved_frac": resolved,
             "largem_max_control_error": err_l,
         }
+
+        # warm-started closed loop at large m: the fused GI rollout with
+        # the carried inverse riding the scan
+        if hasattr(e_l, "fused_rollout_solve_iu"):
+            from linearmpc_tpu.rollout import build_rollout
+
+            roll_l = build_rollout(mpc_l)
+            Br_l, Nr_l = 4096, 500
+            x0_l = rng.uniform(-0.5, 0.5, (Br_l, 4))
+            res_l = roll_l(x0_l, np.zeros((Br_l, 2)), None, N=Nr_l)
+            res_l.us.block_until_ready()
+            t0 = time.perf_counter()
+            res_l = roll_l(x0_l, np.zeros((Br_l, 2)), None, N=Nr_l)
+            res_l.us.block_until_ready()
+            t_rl = time.perf_counter() - t0
+            sps_rl = Br_l * Nr_l / t_rl
+            log(f"large-m rollout: {sps_rl:,.0f} control-steps/s/chip "
+                f"({Br_l} x {Nr_l} in {t_rl:.2f} s, warm GI kernel + carried R; "
+                f"converged {np.mean(np.asarray(res_l.status) == 1):.4f}, "
+                f"mean iters {np.mean(np.asarray(res_l.iters)):.2f})")
+            largem["largem_rollout_steps_per_s"] = round(sps_rl, 1)
     except Exception as ex:
         log(f"large-m bench skipped: {ex}")
+
+    # ---- hybrid (binary-control) throughput: lockstep B&B with parent
+    # warm starts on a short-horizon satellite. Compile is minutes-long on
+    # axon; LINEARMPC_TPU_BENCH_HYBRID=0 skips.
+    hybrid = {}
+    try:
+        import os as _os
+
+        if _os.environ.get("LINEARMPC_TPU_BENCH_HYBRID", "1") != "0":
+            mpc_h, _ = lmpc.mpc_examples("satellite", 8, 8)
+            mpc_h.setup(dtype=engine.dtype)
+            e_h = mpc_h.engine
+            B_h = 512
+            ths_h = rng.uniform(-1.0, 1.0, (B_h, e_h.ldp.n_theta))
+            sol_h = e_h.solve_batch(ths_h)
+            sol_h.U.block_until_ready()
+            st_h = np.asarray(sol_h.status)
+            t0 = time.perf_counter()
+            outs_h = [e_h.solve_batch(ths_h) for _ in range(4)]
+            outs_h[-1].U.block_until_ready()
+            t_h = (time.perf_counter() - t0) / 4
+            log(f"hybrid (satellite Np=8, m={e_h.ldp.m}, "
+                f"{int(np.sum(e_h.ldp.is_binary))} binaries): "
+                f"{B_h/t_h:,.0f} B&B solves/s, solved {np.mean(st_h == 1):.4f}, "
+                f"mean iters {np.mean(np.asarray(sol_h.iters)):.1f}")
+            hybrid = {"hybrid_solves_per_s": round(B_h / t_h, 1),
+                      "hybrid_solved_frac": float(np.mean(st_h == 1))}
+    except Exception as ex:
+        log(f"hybrid bench skipped: {ex}")
 
     # single-instance latency vs the Ts = 0.01 s real-time budget
     th1 = batches[0][:1]
@@ -224,6 +274,7 @@ def main():
         "mean_batch_latency_s": per_batch,
         "single_solve_p99_s": lat_p99,
         **largem,
+        **hybrid,
     }))
 
 

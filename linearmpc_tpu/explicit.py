@@ -409,10 +409,18 @@ class ExplicitMPC:
                 if cand and (best is None or cand[0] < best[0]):
                     best = cand
             if best is None:
-                # the balanced-looking planes all failed: one wider exact
-                # sweep before giving up on the node
-                for _h_score, hid in scored[8:]:
-                    best = exact_split(hid)
+                # the balanced-looking planes all failed: wider exact sweep
+                # in batches of 8 candidates (pair-at-a-time classification
+                # would pay one IPM dispatch per pair) before giving up
+                rest = [hid for _s, hid in scored[8:]]
+                for i0 in range(0, len(rest), 8):
+                    grp = rest[i0 : i0 + 8]
+                    classify_pairs([(rid, hid) for hid in grp
+                                    for rid in region_ids])
+                    for hid in grp:
+                        best = exact_split(hid)
+                        if best is not None:
+                            break
                     if best is not None:
                         break
             if best is None:

@@ -309,3 +309,42 @@ def test_codegen_reference_preview_full(tmp_path):
     r_flat = np.asarray(r_traj.T.ravel(), dtype=np.float64)  # column-major trajectory
     lib.mpc_compute_control(u, (ct * 2)(*x), (ct * len(r_flat))(*r_flat), None)
     assert abs(u[0] - u_py[0]) < 1e-8
+
+
+@needs_gcc
+@pytest.mark.slow
+def test_codegen_explicit_bst_large(tmp_path):
+    """O(log R) BST evaluation in generated C, differential-tested on a
+    >1000-region controller (reference parity: ParametricDAQP's generated
+    tree, src/codegen.jl:62-137). The exact-split build guarantees the
+    descent finds the containing region without the full-scan fallback."""
+    from linearmpc_tpu.codegen import codegen_c_explicit
+    from linearmpc_tpu.explicit import build_explicit
+
+    mpc, rng_box = lmpc.mpc_examples("invpend", 50, 11)
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng_box, max_regions=20000)
+    assert len(empc.regions) > 1000
+    empc.build_tree()
+    _A, bst_b, _k, leaf_off, _lr, depth, _root = empc.bst_arrays()
+    # the tree must be worth the name: log-ish depth, bounded leaves
+    assert depth <= 24 and len(bst_b) < 4 * len(empc.regions)
+
+    cpath = codegen_c_explicit(empc, str(tmp_path))
+    so = f"{tmp_path}/empc_big.so"
+    subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, cpath, "-lm"], check=True)
+    lib = ctypes.CDLL(so)
+
+    rng = np.random.default_rng(21)
+    n_checked = 0
+    for _ in range(300):
+        x = rng.uniform(-12, 12, 4)
+        r = rng.uniform(-12, 12, 2)
+        theta = mpc.form_parameter(x, r=r, uprev=[0.0])
+        u_py = empc.evaluate(theta)
+        if u_py is None:
+            continue
+        u_c = _cc(lib, x, r)
+        assert abs(u_py[0] - u_c[0]) < 1e-8
+        n_checked += 1
+    assert n_checked > 200
