@@ -403,6 +403,146 @@ class SolverEngine:
                         self.arrays.G_solve,
                         jnp.broadcast_to(self.arrays.is_eq, (B, m_iu))))
 
+        # compact working-set path for m beyond the Pallas IU ceiling
+        # (VERDICT r2 #2): the bulk phase carries an s_max x s_max
+        # working-set inverse per lane (the lockstep analog of DAQP's
+        # recursive LDL' of the ACTIVE rows) instead of the full (m, m)
+        # R, so per-iteration work drops from O(m^2) to O(s_max^2 + m)
+        # per lane. LINEARMPC_TPU_CIU=0 opts out (restores the full-R
+        # XLA path for m <= 512).
+        import os as _os_c
+
+        self.use_ciu_batch = False
+        if (self.polish and self.symmetric and not self.has_binaries
+                and subset_inv is None
+                and not getattr(self, "use_iu_pallas", False)
+                and _os_c.environ.get("LINEARMPC_TPU_CIU", "1") != "0"):
+            from .compact_iu import _active_set_loop_ciu
+            from .dual_active_set import Solution as CSolution
+
+            m_c = ldp.m
+            smax_env = _os_c.environ.get("LINEARMPC_TPU_CIU_SMAX", "")
+            s_max = int(smax_env) if smax_env else min(m_c, max(16, ldp.n + 16))
+            s_max = min(m_c, ((s_max + 7) // 8) * 8)
+            self.ciu_s_max = s_max
+            self.use_ciu_batch = True
+            REFINE_C = 6
+            P_c = jax.lax.Precision.HIGHEST
+            bulk_cap_c = min(self.iter_limit, 2 * m_c + 24)
+
+            def _ciu_batch(arr, hi, thetas, lam0=None, act0=None, side0=None):
+                B = thetas.shape[0]
+                th32 = thetas.astype(self.dtype)
+                du_t = arr.du + jnp.dot(th32, arr.Dth.T, precision=P_c)
+                dl_t = arr.dl + jnp.dot(th32, arr.Dth.T, precision=P_c)
+                if lam0 is None:
+                    lam0 = jnp.zeros((B, m_c), self.dtype)
+                    act0 = jnp.zeros((B, m_c), bool)
+                    side0 = jnp.ones((B, m_c), bool)
+                act0 = act0 | arr.is_eq
+                st, ovf, cc = jax.vmap(
+                    lambda dut, dlt, l0, a0, s0: _active_set_loop_ciu(
+                        arr, dut, dlt, arr.is_eq, arr.is_immutable,
+                        l0.astype(self.dtype), a0, s0,
+                        s_max=s_max, max_iter=bulk_cap_c,
+                        primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+                        return_carry=True,
+                    )
+                )(du_t, dl_t, lam0, act0, side0)
+                lam32, act, side = st.lam, st.active, st.side
+                iters, infeas32 = st.iters, st.infeas
+                Rw, slots, occ = cc
+
+                f64 = jnp.float64
+                th64 = thetas.astype(f64)
+                du_h = hi.du + th64 @ hi.Dth.T
+                dl_h = hi.dl + th64 @ hi.Dth.T
+                actf = act.astype(f64)
+                actf32 = act.astype(jnp.float32)
+                occf = occ.astype(jnp.float32)
+                d_side = jnp.where(side, du_h, dl_h)
+                rhs = -actf * d_side
+                brow = jnp.arange(B)[:, None]
+
+                def applyR(v):
+                    # compact preconditioner: Rw on the working-set slots,
+                    # identity on inactive rows
+                    v32 = v.astype(jnp.float32)
+                    w = jnp.take_along_axis(v32, slots, axis=1) * occf
+                    y = jnp.einsum("bij,bj->bi", Rw, w, precision=P_c)
+                    full = jnp.zeros_like(v32).at[brow, slots].add(
+                        jnp.where(occ, y, 0.0))
+                    return (full + v32 * (1.0 - actf32)).astype(f64)
+
+                mask_apply = lambda v: (
+                    actf * ((v * actf) @ hi.G_solve.T) + (1.0 - actf) * v)
+                lam = applyR(rhs)
+                for _ in range(REFINE_C):
+                    lam = lam + applyR(rhs - mask_apply(lam))
+                U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
+                f_t = hi.f + th64 @ hi.f_theta.T
+                fval = 0.5 * jnp.einsum("bi,ij,bj->b", U, hi.H, U) + jnp.sum(f_t * U, axis=1)
+
+                c = lam @ hi.G.T
+                inact = ~act & ~hi.is_immutable
+                v_up = jnp.where(inact, -(du_h + c), -jnp.inf)
+                v_lo = jnp.where(inact, dl_h + c, -jnp.inf)
+                primal = jnp.max(jnp.maximum(v_up, v_lo), axis=1)
+                sgn = jnp.max(jnp.where(
+                    act & ~hi.is_eq, jnp.where(side, -lam, lam), -jnp.inf), axis=1)
+                sys_res = jnp.max(jnp.abs(mask_apply(lam) - rhs), axis=1)
+                bad = jnp.maximum(jnp.maximum(primal, sgn), sys_res)
+                # capacity-overflow lanes must go through the f64 tier
+                bad = jnp.where(ovf, jnp.inf, bad)
+
+                k_a = min(max(128, B // 64), B)
+                k_b = min(max(128, B // 64), B)
+                bad_a = jnp.where(infeas32, -jnp.inf, bad)
+                bad_b = jnp.where(infeas32, jnp.inf, -jnp.inf)
+                top_a, idx_a = jax.lax.top_k(bad_a, k_a)
+                top_b, idx_b = jax.lax.top_k(bad_b, k_b)
+                bad_top = jnp.concatenate(
+                    [top_a, jnp.where(jnp.isinf(top_b), jnp.inf, -jnp.inf)])
+                idx = jnp.concatenate([idx_a, idx_b])
+                # f64 straggler re-solve, compact again with doubled
+                # capacity (covers overflow lanes); cold start
+                s2 = min(m_c, ((2 * s_max + 7) // 8) * 8)
+                (st_fix, ovf_fix) = jax.vmap(
+                    lambda dut, dlt: _active_set_loop_ciu(
+                        hi, dut, dlt, hi.is_eq, hi.is_immutable,
+                        jnp.zeros(m_c, f64), hi.is_eq, jnp.ones(m_c, bool),
+                        s_max=s2, max_iter=bulk_cap_c + 24,
+                        primal_tol=min(self.primal_tol, 1e-6), sign_tol=1e-11,
+                    )
+                )(du_h[idx], dl_h[idx])
+                U_fix = hi.u_off + th64[idx] @ hi.Uth_off.T - st_fix.lam @ hi.HinvET.T
+                ft_fix = hi.f + th64[idx] @ hi.f_theta.T
+                fval_fix = (0.5 * jnp.einsum("bi,ij,bj->b", U_fix, hi.H, U_fix)
+                            + jnp.sum(ft_fix * U_fix, axis=1))
+                fix_status = jnp.where(
+                    st_fix.infeas, jnp.int32(-3),
+                    jnp.where(st_fix.done & ~ovf_fix, jnp.int32(1), jnp.int32(-1)))
+                fix = CSolution(
+                    U_fix, st_fix.lam, st_fix.active, st_fix.side, fval_fix,
+                    iters[idx] + st_fix.iters, fix_status,
+                )
+                needs_fix = bad_top > 1e-8
+                merge = lambda base, upd: base.at[idx].set(
+                    jnp.where(
+                        needs_fix.reshape((-1,) + (1,) * (upd.ndim - 1)), upd, base[idx]
+                    )
+                )
+                status_base = jnp.where(
+                    bad <= 1e-8, jnp.int32(1),
+                    jnp.where(infeas32, jnp.int32(-3), jnp.int32(-1)))
+                return CSolution(
+                    merge(U, fix.U), merge(lam, fix.lam), merge(act, fix.active),
+                    merge(side, fix.side), merge(fval, fix.fval),
+                    merge(iters, fix.iters), merge(status_base, fix.status),
+                )
+
+            self._ciu_batched = jax.jit(_ciu_batch)
+
         # fused Pallas bulk phase: each solver iteration is ONE gridless
         # kernel over the lane-major batch, looped by lax.scan outside
         # (~45x fewer dispatches than the op-granular XLA path). Default on
@@ -588,6 +728,8 @@ class SolverEngine:
                 self.fused_rollout_solve = _fused_rollout_solve
 
         if self.has_binaries:
+            import os as _os_b
+
             from .bnb import solve_bnb_single
             from .dual_active_set import polish_solution
 
@@ -610,6 +752,52 @@ class SolverEngine:
             self._bnb_batched = jax.jit(
                 lambda arrays, hi, thetas: jax.vmap(lambda th: _bnb(arrays, hi, th))(thetas)
             )
+
+            # batched node-frontier B&B (the production batched hybrid
+            # path): one popped node per lane per round, the whole frontier
+            # of relaxations solved as one batched GI phase -- the fused
+            # Pallas kernel on TPU f32, the vmapped XLA IU loop elsewhere.
+            # LINEARMPC_TPU_FRONTIER=0 restores the per-lane DFS.
+            self.use_frontier = (
+                _os_b.environ.get("LINEARMPC_TPU_FRONTIER", "1") != "0"
+                and self.symmetric
+            )
+            if self.use_frontier:
+                from .bnb_frontier import (
+                    make_pallas_relax, make_xla_relax, solve_bnb_frontier)
+                from .pallas_iu import iu_max_chunk_lanes
+
+                node_cap = min(self.iter_limit, 2 * ldp.m + 24)
+                fr_chunk = iu_max_chunk_lanes(ldp.m, 20 * 2**20)
+                _iup = _os_b.environ.get("LINEARMPC_TPU_IUPALLAS", "1")
+                fr_interp = _iup == "interpret"
+                self.frontier_pallas = (
+                    _iup != "0"
+                    and self.dtype == jnp.float32
+                    and fr_chunk >= 128
+                    and (jax.default_backend() != "cpu" or fr_interp)
+                )
+                if self.frontier_pallas:
+                    # cold node solves: a kernel iteration is ~8 us while
+                    # the warm start's masked-Cholesky init is ~2.7 ms per
+                    # chunk per round (measured, m=60)
+                    fr_relax = make_pallas_relax(
+                        self.arrays, ldp.rho_soft, max_iter=node_cap,
+                        primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+                        chunk=fr_chunk, interpret=fr_interp, cold=True)
+                    fr_warm = False
+                else:
+                    fr_relax = make_xla_relax(
+                        self.arrays, max_iter=node_cap,
+                        primal_tol=self.primal_tol, sign_tol=self.sign_tol)
+                    fr_warm = True
+                self._frontier_batched = jax.jit(
+                    lambda arrays, hi, ths: solve_bnb_frontier(
+                        arrays, hi, ths, fr_relax, stack_cap=stack_cap,
+                        node_limit=self.bnb_node_limit,
+                        use_cholesky=self.symmetric, warm_nodes=fr_warm,
+                    )
+                )
 
     # -- host-facing single solve (reference solve(), src/utils.jl:268-283)
     def solve(self, theta) -> tuple[np.ndarray, float, int, dict]:
@@ -642,6 +830,16 @@ class SolverEngine:
         if self.lex is not None:
             return self.lex.solve_batch(thetas)
         if self.has_binaries:
+            if getattr(self, "use_frontier", False):
+                B = thetas.shape[0]
+                pad = 0
+                if getattr(self, "frontier_pallas", False) and B % 128 != 0:
+                    pad = 128 - B % 128
+                    thetas = jnp.concatenate([thetas, thetas[-1:].repeat(pad, 0)])
+                sol = self._frontier_batched(self.arrays, self.arrays_hi, thetas)
+                if pad:
+                    sol = Solution(*(a[:B] for a in sol))
+                return sol
             return self._bnb_batched(self.arrays, self.arrays_hi, thetas)
         if self.use_pallas and self.arrays_hi is not None and thetas.shape[0] % 128 == 0:
             # VMEM-bounded chunking happens inside the jitted program (each
@@ -650,6 +848,9 @@ class SolverEngine:
                 return self._pallas_batched(self.arrays_hi, thetas)
             lam0, act0, side0 = warm
             return self._pallas_batched(self.arrays_hi, thetas, lam0, act0, side0)
+        if getattr(self, "use_ciu_batch", False):
+            w = (None,) * 3 if warm is None else tuple(warm)
+            return self._ciu_batched(self.arrays, self.arrays_hi, thetas, *w)
         if getattr(self, "use_iu_batch", False):
             B = thetas.shape[0]
             CH = self._iu_chunk

@@ -325,7 +325,11 @@ def _prep(G, softd, du_t, dl_t, eq, immut, lam0, act0, side0, R0, m):
     Ttile, Trep, Sgrp = (jnp.asarray(a) for a in consts)
     G = jnp.asarray(G, jnp.float32)
     softd = jnp.asarray(softd, jnp.float32).reshape(m, 1)
-    eq_c = jnp.asarray(eq, jnp.float32).reshape(m, 1)
+    # eq may be shared (m,) or per-lane (B, m) -- branch-and-bound nodes
+    # clamp their fixed binary rows to equality per lane; the kernel
+    # broadcasts (m, 1) and (m, B) identically
+    eq = jnp.asarray(eq, jnp.float32)
+    eq_c = eq.reshape(m, 1) if eq.ndim == 1 else to_lane(eq)
     immut_c = jnp.asarray(immut, jnp.float32).reshape(m, 1)
     du_l, dl_l = to_lane(du_t), to_lane(dl_t)
     lam_l = to_lane(lam0) * to_lane(act0)

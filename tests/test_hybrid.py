@@ -144,6 +144,60 @@ def test_control_trajectory():
     assert np.allclose(u, utraj[:1])
 
 
+def test_frontier_matches_perlane():
+    """The batched node-frontier B&B (ops/bnb_frontier.py, the TPU
+    production path) must return the same optima as the per-lane DFS."""
+    from linearmpc_tpu.ops.bnb_frontier import make_xla_relax, solve_bnb_frontier
+
+    mpc, _ = lmpc.mpc_examples("satellite", 6, 6)
+    mpc.setup()
+    e = mpc.engine
+    assert e.has_binaries and getattr(e, "use_frontier", False)
+    rng = np.random.default_rng(11)
+    B = 12
+    ths = rng.uniform(-1.5, 1.5, (B, e.ldp.n_theta))
+
+    sol_f = e.solve_batch(ths)  # frontier (XLA relax on CPU)
+    # per-lane DFS reference
+    sol_p = e._bnb_batched(e.arrays, e.arrays_hi, np.asarray(ths))
+
+    st_f = np.asarray(sol_f.status)
+    st_p = np.asarray(sol_p.status)
+    assert np.array_equal(st_f == 1, st_p == 1)
+    ok = st_f == 1
+    assert np.max(np.abs(np.asarray(sol_f.fval)[ok] - np.asarray(sol_p.fval)[ok])) < 1e-8
+    assert np.max(np.abs(np.asarray(sol_f.U)[ok] - np.asarray(sol_p.U)[ok])) < 1e-7
+
+
+def test_frontier_matches_enumeration():
+    """Frontier B&B against brute-force enumeration over all binary
+    assignments (bound-constrained binaries: U entries in {umin, umax})."""
+    mpc = MPC.from_discrete([[1.0, 0.1], [0, 1.0]], [[0.0], [1.0]], Np=4, Nc=4)
+    mpc.set_objective(Q=[1.0, 1.0], R=[0.1], Rr=[0.0])
+    mpc.set_bounds(umin=[0.0], umax=[1.0])
+    mpc.set_binary_controls([0])
+    mpc.settings.reference_tracking = False
+    mpc.setup()
+    e = mpc.engine
+    assert getattr(e, "use_frontier", False)
+
+    rng = np.random.default_rng(5)
+    ths = rng.uniform(-1.0, 1.0, (8, e.ldp.n_theta))
+    sol = e.solve_batch(ths)
+    qp = mpc.mpQP
+    for i in range(ths.shape[0]):
+        assert int(sol.status[i]) == 1
+        f_t = qp.f + qp.f_theta @ ths[i]
+        best = (np.inf, None)
+        for bits in range(16):
+            U = np.array([(bits >> k) & 1 for k in range(4)], dtype=float)
+            val = 0.5 * U @ qp.H @ U + f_t @ U
+            if val < best[0]:
+                best = (val, U)
+        assert np.allclose(np.asarray(sol.U[i]), best[1], atol=1e-6), i
+        assert abs(float(sol.fval[i]) - best[0]) < 1e-8
+
+
 def test_bnb_warm_start_matches_cold():
     """Warm-starting child nodes from the parent relaxation (DAQP-style
     workspace reuse) must not change solutions, only iteration counts."""

@@ -61,6 +61,106 @@ def test_crazyflie_closed_loop():
     assert sim.us.min() > -1e-9 and sim.us.max() < 1 + 1e-9
 
 
+def _largem_problem(extra_ks=range(2, 12)):
+    mpc, _ = lmpc.mpc_examples("invpend", 30, 8)
+    mpc.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
+                       ks=extra_ks)
+    return mpc
+
+
+def test_compact_iu_matches_full_iu():
+    """The compact working-set GI loop (ops/compact_iu.py, fixed-capacity
+    slot inverse) must be iteration-for-iteration equivalent to the full
+    (m, m) inverse-update loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from linearmpc_tpu.ops.compact_iu import _active_set_loop_ciu
+    from linearmpc_tpu.ops.dual_active_set import _active_set_loop_iu
+
+    mpc = _largem_problem()
+    mpc.setup()
+    e = mpc.engine
+    arr = e.arrays
+    m = e.ldp.m
+    rng = np.random.default_rng(4)
+    B = 24
+    thetas = np.hstack([
+        rng.uniform(-12, 12, (B, 4)), rng.uniform(-12, 12, (B, 2)),
+        rng.uniform(-2, 2, (B, 1)),
+    ])
+    du_t = np.asarray(arr.du) + thetas @ np.asarray(arr.Dth).T
+    dl_t = np.asarray(arr.dl) + thetas @ np.asarray(arr.Dth).T
+
+    kw = dict(max_iter=2 * m + 24, primal_tol=1e-6, sign_tol=1e-11)
+    full = jax.jit(jax.vmap(lambda du, dl: _active_set_loop_iu(
+        arr, du, dl, arr.is_eq, arr.is_immutable,
+        jnp.zeros(m), arr.is_eq, jnp.ones(m, bool), **kw)))
+    comp = jax.jit(jax.vmap(lambda du, dl: _active_set_loop_ciu(
+        arr, du, dl, arr.is_eq, arr.is_immutable,
+        jnp.zeros(m), arr.is_eq, jnp.ones(m, bool), s_max=24, **kw)))
+    st_f = full(du_t, dl_t)
+    st_c, ovf = comp(du_t, dl_t)
+    assert not np.any(np.asarray(ovf))
+    assert np.array_equal(np.asarray(st_f.done), np.asarray(st_c.done))
+    assert np.array_equal(np.asarray(st_f.active), np.asarray(st_c.active))
+    assert np.array_equal(np.asarray(st_f.iters), np.asarray(st_c.iters))
+    assert np.max(np.abs(np.asarray(st_f.lam) - np.asarray(st_c.lam))) < 1e-8
+
+
+def test_compact_iu_overflow_flag():
+    """A capacity smaller than the optimal working set must raise the
+    overflow flag instead of returning a wrong answer."""
+    import jax
+    import jax.numpy as jnp
+
+    from linearmpc_tpu.ops.compact_iu import _active_set_loop_ciu
+
+    mpc = _largem_problem()
+    mpc.setup()
+    e = mpc.engine
+    arr = e.arrays
+    m = e.ldp.m
+    theta = mpc.form_parameter([12.0, 10.0, 0.5, 0.5], uprev=[0.0])
+    du_t = jnp.asarray(np.asarray(arr.du) + np.asarray(arr.Dth) @ theta)
+    dl_t = jnp.asarray(np.asarray(arr.dl) + np.asarray(arr.Dth) @ theta)
+    st, ovf = jax.jit(lambda du, dl: _active_set_loop_ciu(
+        arr, du, dl, arr.is_eq, arr.is_immutable,
+        jnp.zeros(m), arr.is_eq, jnp.ones(m, bool),
+        s_max=2, max_iter=2 * m + 24, primal_tol=1e-6, sign_tol=1e-11))(du_t, dl_t)
+    assert bool(ovf)
+
+
+def test_compact_engine_path_large_m():
+    """Engine-level compact path (f32 bulk + f64 finishing) at an m that
+    the Pallas IU kernel cannot hold, differential vs the NumPy oracle."""
+    import jax.numpy as jnp
+
+    mpc = _largem_problem(range(2, 26))  # m = 24 + 96 = 120
+    mpc.setup(dtype=jnp.float32)
+    e = mpc.engine
+    assert e.ldp.m > 64
+    assert getattr(e, "use_ciu_batch", False)
+
+    rng = np.random.default_rng(6)
+    B = 64
+    thetas = np.hstack([
+        rng.uniform(-10, 10, (B, 4)), rng.uniform(-10, 10, (B, 2)),
+        rng.uniform(-2, 2, (B, 1)),
+    ])
+    sol = e.solve_batch(thetas)
+    U = np.asarray(sol.U)
+    status = np.asarray(sol.status)
+    checked = 0
+    for i in range(B):
+        Ur, *_r, s = solve_ldp_numpy(e.ldp, thetas[i])
+        if s == 1:
+            assert status[i] == 1, i
+            assert np.max(np.abs(U[i] - Ur)) < 1e-7, i
+            checked += 1
+    assert checked >= B // 3
+
+
 def test_inverse_update_bulk_matches_reference():
     """f32 bulk phase with O(m^2) recursive Woodbury inverse updates
     (DAQP's recursive-factorization analog) + f64 continuation must match
