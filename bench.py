@@ -105,6 +105,7 @@ def main():
 
     # warm-started batched closed-loop rollout (BASELINE.json config 3:
     # scenario batch x 500-step closed loop)
+    rollout_extra = {}
     try:
         from linearmpc_tpu.rollout import build_rollout
 
@@ -121,10 +122,34 @@ def main():
         res.us.block_until_ready()
         t_roll = time.perf_counter() - t0
         steps = Br * Nr
+        st_r = np.asarray(res.status)
+        conv_r = float(np.mean(st_r == 1))
+        infeas_r = float(np.mean(st_r == -3))
         log(f"closed-loop rollout: {steps/t_roll:,.0f} control-steps/s/chip "
             f"({Br} scenarios x {Nr} steps in {t_roll:.2f} s, warm-started; "
             f"mean iters {np.mean(np.asarray(res.iters)):.2f}, "
-            f"converged {np.mean(np.asarray(res.status) == 1):.4f})")
+            f"converged {conv_r:.4f}, infeasible {infeas_r:.4f})")
+        rollout_extra = {"rollout_steps_per_s": round(steps / t_roll, 1),
+                         "rollout_infeasible_frac": infeas_r}
+
+        # on-device sequential-solve latency (VERDICT r2 #5): ONE lane,
+        # Nr dependent warm-started control steps inside one jitted scan
+        # -- true per-solve device latency, directly comparable to the
+        # Ts = 0.01 s budget (the host p99 below measures the axon tunnel)
+        Ns = 200
+        res1 = rollout(x0s[:1], rs_roll[:1], None, N=Ns)
+        res1.us.block_until_ready()
+        t0 = time.perf_counter()
+        reps1 = 3
+        for _ in range(reps1):
+            res1 = rollout(x0s[:1], rs_roll[:1], None, N=Ns)
+        res1.us.block_until_ready()
+        t_seq = (time.perf_counter() - t0) / reps1
+        lat_seq = t_seq / Ns
+        log(f"sequential on-device latency: {lat_seq*1e6:.1f} us/solve "
+            f"(1 lane, {Ns} dependent warm-started steps per program, "
+            f"{'within' if lat_seq < 0.01 else 'OUTSIDE'} the 10 ms budget)")
+        rollout_extra["sequential_solve_latency_s"] = lat_seq
     except Exception as e:  # rollout bench is auxiliary
         log(f"rollout bench skipped: {e}")
 
@@ -205,7 +230,10 @@ def main():
 
             roll_l = build_rollout(mpc_l)
             Br_l, Nr_l = 4096, 500
-            x0_l = rng.uniform(-0.5, 0.5, (Br_l, 4))
+            # x0 drawn small enough that lanes stay inside the +/-18 state
+            # box over the whole horizon: the throughput line measures
+            # feasible control work, not degenerate lanes (VERDICT r2 #4)
+            x0_l = rng.uniform(-0.25, 0.25, (Br_l, 4))
             res_l = roll_l(x0_l, np.zeros((Br_l, 2)), None, N=Nr_l)
             res_l.us.block_until_ready()
             t0 = time.perf_counter()
@@ -213,23 +241,115 @@ def main():
             res_l.us.block_until_ready()
             t_rl = time.perf_counter() - t0
             sps_rl = Br_l * Nr_l / t_rl
+            st_rl = np.asarray(res_l.status)
+            conv_rl = float(np.mean(st_rl == 1))
+            infeas_rl = float(np.mean(st_rl == -3))
             log(f"large-m rollout: {sps_rl:,.0f} control-steps/s/chip "
                 f"({Br_l} x {Nr_l} in {t_rl:.2f} s, warm GI kernel + carried R; "
-                f"converged {np.mean(np.asarray(res_l.status) == 1):.4f}, "
+                f"converged {conv_rl:.4f}, infeasible {infeas_rl:.4f}, "
                 f"mean iters {np.mean(np.asarray(res_l.iters)):.2f})")
             largem["largem_rollout_steps_per_s"] = round(sps_rl, 1)
+            largem["largem_rollout_converged_frac"] = conv_rl
+            largem["largem_rollout_infeasible_frac"] = infeas_rl
     except Exception as ex:
         log(f"large-m bench skipped: {ex}")
 
-    # ---- hybrid (binary-control) throughput: lockstep B&B with parent
-    # warm starts on a short-horizon satellite. Compile is minutes-long on
-    # axon; LINEARMPC_TPU_BENCH_HYBRID=0 skips.
+    # ---- compact working-set path at m in the (64, 512] regime
+    # (VERDICT r2 #2): invpend with state constraints over most of the
+    # horizon; the bulk phase carries an s_max x s_max slot inverse
+    compact = {}
+    try:
+        mpc_c, _ = lmpc.mpc_examples("invpend", 30, 8)
+        mpc_c.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
+                             ks=range(2, 32))
+        mpc_c.setup(dtype=engine.dtype)
+        e_c = mpc_c.engine
+        B_c = 8192
+        batches_c = [jnp.asarray(np.hstack([
+            rng.uniform(-10, 10, (B_c, 4)), rng.uniform(-10, 10, (B_c, 2)),
+            rng.uniform(-2, 2, (B_c, 1)),
+        ]), jnp.float64) for _ in range(4)]
+        for b in batches_c:
+            b.block_until_ready()
+        sol_cb = e_c.solve_batch(batches_c[0])
+        sol_cb.U.block_until_ready()
+        st_c = np.asarray(sol_cb.status)
+        best_c = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs_c = [e_c.solve_batch(b) for b in batches_c]
+            outs_c[-1].U.block_until_ready()
+            best_c = min(best_c, (time.perf_counter() - t0) / len(batches_c))
+        sps_c = B_c / best_c
+        err_c = 0.0
+        n_ref_c = 0
+        for i in range(96):
+            U_ref, *_r, s_ref = solve_ldp_numpy(
+                e_c.ldp, np.asarray(batches_c[0][i], np.float64))
+            if s_ref == 1:
+                n_ref_c += 1
+                err_c = max(err_c, float(np.max(np.abs(
+                    np.asarray(sol_cb.U[i], np.float64) - U_ref))))
+        log(f"compact large-m (m={e_c.ldp.m}, s_max={getattr(e_c, 'ciu_s_max', '-')}, "
+            f"ciu={getattr(e_c, 'use_ciu_batch', False)}): {sps_c:,.0f} solves/s, "
+            f"resolved {np.mean(st_c != -1):.4f} (opt {np.mean(st_c == 1):.4f} / "
+            f"infeas {np.mean(st_c == -3):.4f}), max err {err_c:.2e} "
+            f"over {n_ref_c} oracle-feasible")
+        compact = {
+            "compact_m": int(e_c.ldp.m),
+            "compact_solves_per_s": round(sps_c, 1),
+            "compact_resolved_frac": float(np.mean(st_c != -1)),
+            "compact_max_control_error": err_c,
+        }
+    except Exception as ex:
+        log(f"compact large-m bench skipped: {ex}")
+
+    # ---- offline analyses (VERDICT r2 #6): explicit-MPC enumeration
+    # rate and certification wall time (reduced box, the CI-complete
+    # certificate with >100 regions; the full default range is minutes
+    # of host LPs)
+    offline = {}
+    try:
+        from linearmpc_tpu.certify import certify
+        from linearmpc_tpu.types import ParameterRange
+
+        mpc_e, rng_e = lmpc.mpc_examples("invpend")
+        mpc_e.setup()
+        t0 = time.perf_counter()
+        empc = lmpc.build_explicit(mpc_e, prange=rng_e)
+        t_exp = time.perf_counter() - t0
+        n_reg = len(empc.regions)
+        log(f"explicit enumeration: {n_reg} regions in {t_exp:.2f} s "
+            f"({n_reg/t_exp:,.1f} regions/s, batched LP oracle)")
+        offline["explicit_regions"] = n_reg
+        offline["explicit_regions_per_s"] = round(n_reg / t_exp, 2)
+
+        rng_small = ParameterRange.from_mpc(mpc_e)
+        for nm in ("xmin", "rmin", "dmin", "umin", "pmin"):
+            getattr(rng_small, nm)[:] = -6.0
+        for nm in ("xmax", "rmax", "dmax", "umax", "pmax"):
+            getattr(rng_small, nm)[:] = 6.0
+        t0 = time.perf_counter()
+        cert = certify(mpc_e, prange=rng_small)
+        t_cert = time.perf_counter() - t0
+        log(f"certification: {len(cert.partition)} regions, worst case "
+            f"{cert.max_iterations} iters, {t_cert:.2f} s (box +/-6)")
+        offline["certify_regions"] = len(cert.partition)
+        offline["certify_wall_s"] = round(t_cert, 2)
+        offline["certify_max_iterations"] = int(cert.max_iterations)
+    except Exception as ex:
+        log(f"offline analyses bench skipped: {ex}")
+
+    # ---- hybrid (binary-control) throughput at the REFERENCE-DEFAULT
+    # satellite size (Np=20, m=60, 40 binaries): incremental node-frontier
+    # B&B with the fused GI kernel (ops/bnb_frontier.py). Compile is
+    # minutes-long on axon; LINEARMPC_TPU_BENCH_HYBRID=0 skips.
     hybrid = {}
     try:
         import os as _os
 
         if _os.environ.get("LINEARMPC_TPU_BENCH_HYBRID", "1") != "0":
-            mpc_h, _ = lmpc.mpc_examples("satellite", 8, 8)
+            mpc_h, _ = lmpc.mpc_examples("satellite")
             mpc_h.setup(dtype=engine.dtype)
             e_h = mpc_h.engine
             B_h = 512
@@ -241,11 +361,13 @@ def main():
             outs_h = [e_h.solve_batch(ths_h) for _ in range(4)]
             outs_h[-1].U.block_until_ready()
             t_h = (time.perf_counter() - t0) / 4
-            log(f"hybrid (satellite Np=8, m={e_h.ldp.m}, "
-                f"{int(np.sum(e_h.ldp.is_binary))} binaries): "
+            log(f"hybrid (satellite Np=20 reference-default, m={e_h.ldp.m}, "
+                f"{int(np.sum(e_h.ldp.is_binary))} binaries, "
+                f"frontier={getattr(e_h, 'frontier_pallas', False)}): "
                 f"{B_h/t_h:,.0f} B&B solves/s, solved {np.mean(st_h == 1):.4f}, "
                 f"mean iters {np.mean(np.asarray(sol_h.iters)):.1f}")
-            hybrid = {"hybrid_solves_per_s": round(B_h / t_h, 1),
+            hybrid = {"hybrid_m": int(e_h.ldp.m),
+                      "hybrid_solves_per_s": round(B_h / t_h, 1),
                       "hybrid_solved_frac": float(np.mean(st_h == 1))}
     except Exception as ex:
         log(f"hybrid bench skipped: {ex}")
@@ -273,7 +395,10 @@ def main():
         "max_control_error": err,
         "mean_batch_latency_s": per_batch,
         "single_solve_p99_s": lat_p99,
+        **rollout_extra,
         **largem,
+        **compact,
+        **offline,
         **hybrid,
     }))
 

@@ -397,8 +397,9 @@ int mpc_correct_state(c_float *x, c_float *y, c_float *d)
 
 
 def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = "double",
-              iter_limit: int = 1000, warm_start: bool = False,
-              bnb_node_limit: int = 4096) -> str:
+              iter_limit: int | None = None, warm_start: bool | None = None,
+              bnb_node_limit: int | None = None,
+              primal_tol: float | None = None, sign_tol: float | None = None) -> str:
     """Emit self-contained C for the controller; returns the .c path.
 
     Mirrors the data layout of the reference's ``qp2ldp``-generated
@@ -407,11 +408,28 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
     codegen/mpc_update_qp.c:28-52) and an optional persistent-working-set
     warm-start mode (reference DAQP_WARMSTART, src/codegen.jl:167-169).
     Unsupported combos raise like the reference (src/codegen.jl:127,210).
+
+    Solver settings ride into the embedded C the way the reference passes
+    ``opt_settings`` into DAQP.codegen (src/codegen.jl:25-28): explicit
+    keyword arguments win, then ``mpc.settings.solver_opts`` (keys
+    ``iter_limit``, ``primal_tol``, ``dual_tol``, ``warm_start``,
+    ``bnb_node_limit``), then the defaults.
     """
     from .ops.ldp import qp2ldp
 
     if not mpc.mpqp_issetup:
         mpc.setup()
+    _opts = dict(mpc.settings.solver_opts)
+    if iter_limit is None:
+        iter_limit = int(_opts.get("iter_limit", 1000))
+    if warm_start is None:
+        warm_start = bool(_opts.get("warm_start", False))
+    if bnb_node_limit is None:
+        bnb_node_limit = int(_opts.get("bnb_node_limit", 4096))
+    if primal_tol is None:
+        primal_tol = float(_opts.get("primal_tol", 1e-6))
+    if sign_tol is None:
+        sign_tol = float(_opts.get("dual_tol", 1e-11))
     if mpc.settings.disturbance_preview and mpc.state_observer is not None:
         raise ValueError("Code generation not supported for disturbance preview with a state observer.")
     # full (uncondensed) reference preview needs no special handling: the
@@ -446,8 +464,8 @@ def codegen_c(mpc, dir: str, *, fname: str = "mpc_workspace", float_type: str = 
         f"#define N_CON {m}",
         f"#define N_DEC {n}",
         f"#define MPC_ITER_LIMIT {iter_limit}",
-        f"#define MPC_PRIMAL_TOL 1e-6",
-        f"#define MPC_SIGN_TOL 1e-11",
+        f"#define MPC_PRIMAL_TOL {primal_tol:.17g}",
+        f"#define MPC_SIGN_TOL {sign_tol:.17g}",
         f"#define N_BINARY {int(np.sum(ldp.is_binary))}",
     ]
     if warm_start:

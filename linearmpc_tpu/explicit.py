@@ -245,7 +245,10 @@ class ExplicitMPC:
                 if nrm <= 1e-12:
                     continue
                 a, b = row / nrm, float(rhs) / nrm
-                s = 1.0 if (a[np.argmax(np.abs(a) > 1e-12)] >= 0) else -1.0
+                # sign-defining coordinate: the largest-magnitude entry
+                # (argmax of a thresholded mask returns index 0 when every
+                # entry is tiny, making the sign key arbitrary; ADVICE r2 #3)
+                s = 1.0 if (a[np.argmax(np.abs(a))] >= 0) else -1.0
                 key = tuple(np.round(np.append(a * s, b * s), 9))
                 hid = seen.get(key)
                 if hid is None:

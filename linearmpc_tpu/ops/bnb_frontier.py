@@ -347,3 +347,274 @@ def solve_bnb_frontier(
         jnp.where(found, sol.fval, big),
         final.iters, status,
     )
+
+
+class IncState(NamedTuple):
+    """Incremental-frontier state: the GI solver state lives ACROSS
+    branch-and-bound rounds (lane-major, matching the Pallas kernel)."""
+
+    stack_fixed: jax.Array  # (B, cap, m) bool
+    stack_side: jax.Array   # (B, cap, m) bool
+    stack_bound: jax.Array  # (B, cap)
+    top: jax.Array          # (B,) int32
+    cur_fixed: jax.Array    # (B, m) bool: current node's fixed binaries
+    cur_fside: jax.Array    # (B, m) bool
+    active_node: jax.Array  # (B,) bool: lane is solving a node
+    node_iter: jax.Array    # (B,) int32: iterations spent on current node
+    du_l: jax.Array         # (m, B) current node bounds (clamped)
+    dl_l: jax.Array         # (m, B)
+    eq_l: jax.Array         # (m, B) f32
+    lam_l: jax.Array        # (m, B) f32 solver state...
+    act_l: jax.Array
+    side_l: jax.Array
+    pend_l: jax.Array
+    done_l: jax.Array
+    infeas_l: jax.Array
+    R_l: jax.Array          # (m*m, B)
+    inc_fval: jax.Array     # (B,)
+    inc_active: jax.Array   # (B, m) bool
+    inc_side: jax.Array     # (B, m) bool
+    inc_found: jax.Array    # (B,)
+    nodes: jax.Array        # (B,) int32
+    iters: jax.Array        # (B,) int32
+    exhausted: jax.Array    # (B,) bool
+
+
+def solve_bnb_frontier_inc(
+    arrays: LDPArrays,
+    arrays_hi: LDPArrays | None,
+    thetas: jax.Array,
+    stepper,
+    *,
+    stack_cap: int = 64,
+    node_limit: int = 1024,
+    node_cap: int = 200,
+    k_round: int = 8,
+    bin_tol: float = 1e-6,
+    use_cholesky: bool = True,
+) -> Solution:
+    """Incremental node-frontier B&B (the TPU production hybrid path).
+
+    The pop-per-round frontier (``solve_bnb_frontier``) synchronizes every
+    round on the slowest lane's relaxation, so most kernel iterations are
+    frozen-lane waste. Here the GI solver state (multipliers, working set,
+    carried inverse R) is part of the outer loop state: each round runs a
+    fixed ``k_round`` fused kernel iterations for EVERY lane, then a
+    management step branches/prunes the lanes whose relaxation just
+    converged. At a branch the NEAR child continues the parent's solver
+    state in place (only the branched row's bounds clamp -- a free warm
+    start, the lockstep analog of DAQP's workspace reuse across B&B
+    nodes); only backtrack pops pay a cold reset (R = I, empty set).
+
+    ``stepper`` is a ``make_iu_stepper`` closure over the problem arrays.
+    """
+    dtype = arrays.G.dtype
+    m = arrays.G.shape[0]
+    n = arrays.u_off.shape[0]
+    B = thetas.shape[0]
+    th = thetas.astype(dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    bidx = jnp.arange(B)
+    is_bin = arrays.is_binary
+    is_eq = arrays.is_eq
+    immut = arrays.is_immutable
+    up_f, lo_f = arrays.up_finite, arrays.lo_finite
+
+    P = jax.lax.Precision.HIGHEST
+    du_t = arrays.du + jnp.dot(th, arrays.Dth.T, precision=P)
+    dl_t = arrays.dl + jnp.dot(th, arrays.Dth.T, precision=P)
+    U0 = arrays.u_off + jnp.dot(th, arrays.Uth_off.T, precision=P)
+    f_t = arrays.f + jnp.dot(th, arrays.f_theta.T, precision=P)
+    eye_flat = jnp.asarray(np.eye(m, dtype=np.float32).reshape(m * m, 1))
+
+    def prune_tops(top, inc_found, inc_fval, stack_bound):
+        def top_bound(t):
+            i = jnp.maximum(t - 1, 0)
+            return jnp.take_along_axis(stack_bound, i[:, None], axis=1)[:, 0]
+
+        def cond(t):
+            return jnp.any((t > 0) & inc_found & (top_bound(t) >= inc_fval))
+
+        def body(t):
+            prunable = (t > 0) & inc_found & (top_bound(t) >= inc_fval)
+            return t - prunable.astype(jnp.int32)
+
+        return jax.lax.while_loop(cond, body, top)
+
+    def body(s: IncState) -> IncState:
+        # ---- K productive kernel iterations for every lane
+        solver = (s.lam_l, s.act_l, s.side_l, s.pend_l, s.done_l, s.infeas_l, s.R_l)
+        solver, steps = stepper(s.du_l, s.dl_l, s.eq_l, solver)
+        lam_l, act_l, side_l, pend_l, done_l, infeas_l, R_l = solver
+        steps_i = steps.astype(jnp.int32)
+        iters = s.iters + steps_i
+        node_iter = s.node_iter + steps_i
+
+        # ---- management (batch-major views of the small state)
+        done = done_l[0] > 0.5
+        infeas = infeas_l[0] > 0.5
+        lam = lam_l.T
+        act = act_l.T > 0.5
+        side = side_l.T > 0.5
+        conv = s.active_node & done & ~infeas
+        nfail_exh = s.active_node & ~done & (node_iter >= node_cap)
+        nfail = (s.active_node & done & infeas) | nfail_exh
+
+        U = U0 - jnp.dot(lam.astype(dtype), arrays.HinvET.T, precision=P)
+        fval = (0.5 * jnp.einsum("bi,ij,bj->b", U, arrays.H, U, precision=P)
+                + jnp.sum(f_t * U, axis=1))
+        pruned_conv = conv & s.inc_found & (fval >= s.inc_fval)
+
+        c = jnp.dot(lam.astype(dtype), arrays.G.T, precision=P)
+        slack_up = jnp.where(up_f[None, :], du_t + c, big)
+        slack_lo = jnp.where(lo_f[None, :], -dl_t - c, big)
+        frac = jnp.minimum(slack_up, slack_lo)
+        branchable = (is_bin[None, :] & ~s.cur_fixed & ~immut[None, :]
+                      & (up_f | lo_f)[None, :])
+        frac = jnp.where(branchable, frac, -big)
+        jb = jnp.argmax(frac, axis=1)
+        frac_jb = jnp.take_along_axis(frac, jb[:, None], axis=1)[:, 0]
+        integral = frac_jb <= bin_tol
+
+        better = conv & (~pruned_conv) & integral & (fval < s.inc_fval)
+        bt = better[:, None]
+        inc_fval = jnp.where(better, fval, s.inc_fval)
+        inc_active = jnp.where(bt, act, s.inc_active)
+        inc_side = jnp.where(bt, side, s.inc_side)
+        inc_found = s.inc_found | better
+
+        # ---- branch: push the far child, continue the near child in place
+        branch = conv & (~pruned_conv) & (~integral)
+        onehot = jnp.arange(m)[None, :] == jb[:, None]
+        su_jb = jnp.take_along_axis(slack_up, jb[:, None], axis=1)[:, 0]
+        sl_jb = jnp.take_along_axis(slack_lo, jb[:, None], axis=1)[:, 0]
+        near_up = (su_jb <= sl_jb)[:, None]
+        child_fixed = s.cur_fixed | onehot
+        far_side = jnp.where(onehot, ~near_up, s.cur_fside)
+        far_viable = jnp.where(near_up[:, 0], lo_f[jb], up_f[jb])
+
+        do_push = branch & far_viable & (s.top < stack_cap)
+        ix = jnp.minimum(s.top, stack_cap - 1)
+        dom = do_push[:, None]
+        stack_fixed = s.stack_fixed.at[bidx, ix].set(
+            jnp.where(dom, child_fixed, s.stack_fixed[bidx, ix]))
+        stack_side = s.stack_side.at[bidx, ix].set(
+            jnp.where(dom, far_side, s.stack_side[bidx, ix]))
+        stack_bound = s.stack_bound.at[bidx, ix].set(
+            jnp.where(do_push, fval, s.stack_bound[bidx, ix]))
+        top = s.top + do_push.astype(jnp.int32)
+
+        cur_fixed = jnp.where(branch[:, None], child_fixed, s.cur_fixed)
+        cur_fside = jnp.where(branch[:, None] & onehot, near_up, s.cur_fside)
+        nodes = s.nodes + branch.astype(jnp.int32)
+
+        # clamp the branched row in the lane-major bounds; mark it equality
+        d_up_jb = jnp.take_along_axis(du_t, jb[:, None], axis=1)[:, 0]
+        d_lo_jb = jnp.take_along_axis(dl_t, jb[:, None], axis=1)[:, 0]
+        d_b = jnp.where(near_up[:, 0], d_up_jb, d_lo_jb).astype(jnp.float32)
+        oh_l = onehot.T  # (m, B)
+        bm = branch[None, :]
+        du_l = jnp.where(oh_l & bm, d_b[None, :], s.du_l)
+        dl_l = jnp.where(oh_l & bm, d_b[None, :], s.dl_l)
+        eq_l = jnp.maximum(s.eq_l, (oh_l & bm).astype(jnp.float32))
+        # the near child resumes the parent's solver state: clear done
+        done_l = done_l * (1.0 - branch.astype(jnp.float32))[None, :]
+
+        finished = (conv & (pruned_conv | integral)) | nfail
+        active_node = s.active_node & ~finished
+        exhausted = s.exhausted | nfail_exh
+        node_iter = jnp.where(branch | finished, 0, node_iter)
+
+        # ---- backtrack pops for idle lanes (cold solver reset)
+        top = prune_tops(top, inc_found, inc_fval, stack_bound)
+        can_pop = (~active_node) & (top > 0) & (nodes < node_limit)
+        pidx = jnp.maximum(top - 1, 0)
+        gat = lambda st: jnp.take_along_axis(st, pidx[:, None, None], axis=1)[:, 0]
+        pop_fixed = gat(stack_fixed)
+        pop_fside = gat(stack_side)
+        top = top - can_pop.astype(jnp.int32)
+        nodes = nodes + can_pop.astype(jnp.int32)
+        cp = can_pop[:, None]
+        cur_fixed = jnp.where(cp, pop_fixed, cur_fixed)
+        cur_fside = jnp.where(cp, pop_fside, cur_fside)
+        active_node = active_node | can_pop
+
+        d_f = jnp.where(pop_fside, du_t, dl_t)
+        du_n = jnp.where(pop_fixed, d_f, du_t).astype(jnp.float32)
+        dl_n = jnp.where(pop_fixed, d_f, dl_t).astype(jnp.float32)
+        eq_n = (is_eq[None, :] | pop_fixed).astype(jnp.float32)
+        cpl = can_pop[None, :]
+        cpf = cpl.astype(jnp.float32)
+        du_l = jnp.where(cpl, du_n.T, du_l)
+        dl_l = jnp.where(cpl, dl_n.T, dl_l)
+        eq_l = jnp.where(cpl, eq_n.T, eq_l)
+        lam_l = lam_l * (1.0 - cpf)
+        act_l = act_l * (1.0 - cpf)
+        side_l = jnp.where(cpl, 1.0, side_l)
+        pend_l = pend_l * (1.0 - cpf)
+        infeas_l = infeas_l * (1.0 - cpf)
+        R_l = jnp.where(jnp.broadcast_to(cpl, R_l.shape), eye_flat, R_l)
+        # popped lanes resume; permanently idle lanes freeze in the kernel
+        idle = ~active_node
+        done_l = jnp.where((cpl | idle[None, :]),
+                           jnp.where(cpl, 0.0, 1.0), done_l)
+
+        return IncState(
+            stack_fixed, stack_side, stack_bound, top,
+            cur_fixed, cur_fside, active_node, node_iter,
+            du_l, dl_l, eq_l,
+            lam_l, act_l, side_l, pend_l, done_l, infeas_l, R_l,
+            inc_fval, inc_active, inc_side, inc_found,
+            nodes, iters, exhausted,
+        )
+
+    def cond(s: IncState):
+        return jnp.any(s.active_node | ((s.top > 0) & (s.nodes < node_limit)))
+
+    f32 = jnp.float32
+    init = IncState(
+        stack_fixed=jnp.zeros((B, stack_cap, m), bool),
+        stack_side=jnp.zeros((B, stack_cap, m), bool),
+        stack_bound=jnp.full((B, stack_cap), -big, dtype),
+        top=jnp.zeros(B, jnp.int32),
+        cur_fixed=jnp.zeros((B, m), bool),
+        cur_fside=jnp.zeros((B, m), bool),
+        active_node=jnp.ones(B, bool),  # root is the initial node
+        node_iter=jnp.zeros(B, jnp.int32),
+        du_l=du_t.astype(f32).T,
+        dl_l=dl_t.astype(f32).T,
+        eq_l=jnp.broadcast_to(is_eq.astype(f32)[:, None], (m, B)),
+        lam_l=jnp.zeros((m, B), f32),
+        act_l=jnp.zeros((m, B), f32),
+        side_l=jnp.ones((m, B), f32),
+        pend_l=jnp.zeros((m, B), f32),
+        done_l=jnp.zeros((m, B), f32),
+        infeas_l=jnp.zeros((m, B), f32),
+        R_l=jnp.broadcast_to(eye_flat, (m * m, B)),
+        inc_fval=jnp.full(B, big, dtype),
+        inc_active=jnp.zeros((B, m), bool),
+        inc_side=jnp.zeros((B, m), bool),
+        inc_found=jnp.zeros(B, bool),
+        nodes=jnp.ones(B, jnp.int32),
+        iters=jnp.zeros(B, jnp.int32),
+        exhausted=jnp.zeros(B, bool),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    status = jnp.where(
+        final.inc_found, jnp.int32(1),
+        jnp.where(final.exhausted | (final.nodes >= node_limit),
+                  jnp.int32(-1), jnp.int32(-2)))
+    hi = arrays if arrays_hi is None else arrays_hi
+    sol = jax.vmap(
+        lambda t, a, sd: polish_solution(hi, t, a, sd, use_cholesky=use_cholesky)
+    )(thetas, final.inc_active, final.inc_side)
+    found = final.inc_found
+    fm = found[:, None]
+    return Solution(
+        jnp.where(fm, sol.U, jnp.zeros((B, n), sol.U.dtype)),
+        jnp.where(fm, sol.lam, jnp.zeros((B, m), sol.lam.dtype)),
+        final.inc_active, final.inc_side,
+        jnp.where(found, sol.fval, big),
+        final.iters, status,
+    )

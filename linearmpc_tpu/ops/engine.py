@@ -327,10 +327,13 @@ class SolverEngine:
                 # f32-detected dual-unbounded rays outside pool B keep the
                 # -3 verdict (the detector is LP-verified with no observed
                 # false positives; pool B's f64 re-solve still overturns
-                # the k_b worst-looking ones if wrong)
+                # the k_b worst-looking ones if wrong). An infeas32 lane is
+                # never promoted to optimal by a small residual: the -3
+                # verdict takes precedence over the bad <= 1e-8 shortcut
+                # (its lam is a ray, not a solution; ADVICE r2 #1)
                 status_base = jnp.where(
-                    bad <= 1e-8, jnp.int32(1),
-                    jnp.where(infeas32, jnp.int32(-3), jnp.int32(-1)))
+                    infeas32, jnp.int32(-3),
+                    jnp.where(bad <= 1e-8, jnp.int32(1), jnp.int32(-1)))
                 return IUSolution(
                     merge(U, fix.U), merge(lam, fix.lam), merge(act, fix.active),
                     merge(side, fix.side), merge(fval, fix.fval),
@@ -387,11 +390,15 @@ class SolverEngine:
                     for _ in range(REFINE_ROLL):
                         lam = lam + applyR(rhs - mask_apply(lam))
                     U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
+                    # relative residual: an absolute threshold misreports
+                    # convergence when the transformed bounds are scaled
+                    # far from O(1) (ADVICE r2 #4)
                     sys_res = jnp.max(jnp.abs(mask_apply(lam) - rhs), axis=1)
+                    res_scale = 1.0 + jnp.max(jnp.abs(rhs), axis=1)
                     status = jnp.where(
                         infeas32, jnp.int32(-3),
-                        jnp.where(done & (sys_res <= 1e-6), jnp.int32(1),
-                                  jnp.int32(-1)))
+                        jnp.where(done & (sys_res <= 1e-6 * res_scale),
+                                  jnp.int32(1), jnp.int32(-1)))
                     return (U.astype(jnp.float32), lam.astype(jnp.float32),
                             act, side, iters, status, R)
 
@@ -533,8 +540,8 @@ class SolverEngine:
                     )
                 )
                 status_base = jnp.where(
-                    bad <= 1e-8, jnp.int32(1),
-                    jnp.where(infeas32, jnp.int32(-3), jnp.int32(-1)))
+                    infeas32, jnp.int32(-3),
+                    jnp.where(bad <= 1e-8, jnp.int32(1), jnp.int32(-1)))
                 return CSolution(
                     merge(U, fix.U), merge(lam, fix.lam), merge(act, fix.active),
                     merge(side, fix.side), merge(fval, fix.fval),
@@ -764,8 +771,8 @@ class SolverEngine:
             )
             if self.use_frontier:
                 from .bnb_frontier import (
-                    make_pallas_relax, make_xla_relax, solve_bnb_frontier)
-                from .pallas_iu import iu_max_chunk_lanes
+                    make_xla_relax, solve_bnb_frontier, solve_bnb_frontier_inc)
+                from .pallas_iu import iu_max_chunk_lanes, make_iu_stepper
 
                 node_cap = min(self.iter_limit, 2 * ldp.m + 24)
                 fr_chunk = iu_max_chunk_lanes(ldp.m, 20 * 2**20)
@@ -778,26 +785,59 @@ class SolverEngine:
                     and (jax.default_backend() != "cpu" or fr_interp)
                 )
                 if self.frontier_pallas:
-                    # cold node solves: a kernel iteration is ~8 us while
-                    # the warm start's masked-Cholesky init is ~2.7 ms per
-                    # chunk per round (measured, m=60)
-                    fr_relax = make_pallas_relax(
-                        self.arrays, ldp.rho_soft, max_iter=node_cap,
+                    # incremental frontier: the GI solver state lives across
+                    # B&B rounds, so every kernel iteration is productive for
+                    # every lane (no lockstep max-iteration sync); the near
+                    # child of a branch continues the parent state in place
+                    eps32 = float(np.finfo(np.float32).eps)
+                    softd = jnp.asarray(
+                        np.asarray(ldp.rho_soft, np.float64) + 4 * eps32,
+                        jnp.float32)
+                    k_round = int(_os_b.environ.get("LINEARMPC_TPU_BNB_K", "8"))
+                    stepper = make_iu_stepper(
+                        self.arrays.G, softd,
+                        self.arrays.is_immutable.astype(jnp.float32),
+                        m=ldp.m, K=k_round, chunk=fr_chunk,
                         primal_tol=self.primal_tol, sign_tol=self.sign_tol,
-                        chunk=fr_chunk, interpret=fr_interp, cold=True)
-                    fr_warm = False
+                        interpret=fr_interp)
+                    self._frontier_batched = jax.jit(
+                        lambda arrays, hi, ths: solve_bnb_frontier_inc(
+                            arrays, hi, ths, stepper, stack_cap=stack_cap,
+                            node_limit=self.bnb_node_limit, node_cap=node_cap,
+                            k_round=k_round, use_cholesky=self.symmetric,
+                        )
+                    )
                 else:
                     fr_relax = make_xla_relax(
                         self.arrays, max_iter=node_cap,
                         primal_tol=self.primal_tol, sign_tol=self.sign_tol)
-                    fr_warm = True
-                self._frontier_batched = jax.jit(
-                    lambda arrays, hi, ths: solve_bnb_frontier(
-                        arrays, hi, ths, fr_relax, stack_cap=stack_cap,
-                        node_limit=self.bnb_node_limit,
-                        use_cholesky=self.symmetric, warm_nodes=fr_warm,
+                    self._frontier_batched = jax.jit(
+                        lambda arrays, hi, ths: solve_bnb_frontier(
+                            arrays, hi, ths, fr_relax, stack_cap=stack_cap,
+                            node_limit=self.bnb_node_limit,
+                            use_cholesky=self.symmetric, warm_nodes=True,
+                        )
                     )
-                )
+
+    # -- model parallelism: route batched solves through the mp-Schur
+    # sharded solver (parallel/schur.py) when a device mesh is attached
+    # and the row dimension exceeds the single-chip fast-path ceiling
+    def attach_mesh(self, mesh, *, mp_threshold: int = 512, force: bool = False,
+                    **schur_kw):
+        """Configure a (dp, mp) mesh. Batched solves dispatch to the
+        shard_map row-sharded CG solver when ``ldp.m > mp_threshold`` (or
+        ``force``); smaller problems keep the single-chip kernels and can
+        still be dp-sharded by the caller. Returns self."""
+        self._mp_solver = None
+        if force or self.ldp.m > mp_threshold:
+            from ..parallel.schur import make_mp_batch_solver
+
+            self._mp_solver = make_mp_batch_solver(
+                self.ldp, mesh,
+                max_iter=min(self.iter_limit, 2 * self.ldp.m + 32),
+                primal_tol=min(self.primal_tol, 1e-6),
+                sign_tol=max(self.sign_tol, 1e-9), **schur_kw)
+        return self
 
     # -- host-facing single solve (reference solve(), src/utils.jl:268-283)
     def solve(self, theta) -> tuple[np.ndarray, float, int, dict]:
@@ -829,6 +869,8 @@ class SolverEngine:
         thetas = jnp.asarray(thetas, dtype=in_dtype)
         if self.lex is not None:
             return self.lex.solve_batch(thetas)
+        if getattr(self, "_mp_solver", None) is not None:
+            return self._mp_solver(thetas)
         if self.has_binaries:
             if getattr(self, "use_frontier", False):
                 B = thetas.shape[0]

@@ -36,8 +36,10 @@ def lp_ipm_batch(A, b, c, x0, *, n_iter: int = 40):
       b: (B, m)
       c: (B, n) or (n,)
       x0: (B, n) strictly feasible starts (A x0 < b elementwise).
-    Returns (x, obj, gap): primal solutions, objectives, and final
-    complementarity gaps (convergence indicator).
+    Returns (x, obj, gap, rd): primal solutions, objectives, final
+    complementarity gaps, and the final dual residual c + A'lam (B, n) --
+    a certified objective bound must account for BOTH gap and rd
+    (the IPM terminates on an iteration budget, not on rd; ADVICE r2 #2).
     """
     B, m, n = A.shape
     dtype = A.dtype
@@ -97,7 +99,8 @@ def lp_ipm_batch(A, b, c, x0, *, n_iter: int = 40):
     x, s, lam = jax.lax.fori_loop(0, n_iter, body, (x0, s0, lam0))
     obj = jnp.sum(c * x, axis=1)
     gap = jnp.sum(lam * s, axis=1) / m
-    return x, obj, gap
+    rd = c + jnp.einsum("bmn,bm->bn", A, lam)
+    return x, obj, gap, rd
 
 
 def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
@@ -110,10 +113,13 @@ def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
       cs: (B, nth) per-lane objectives;
       x0: (B, nth) strictly interior starts (e.g. Chebyshev centers).
     Returns (val, slack_tot, gap): primal objective values (an upper bound
-    on the true minimum; the certified lower bound is ``val - slack_tot``
-    where slack_tot = m_total * gap bounds the duality gap), and the raw
-    mean complementarity gap. Lanes whose start is not strictly interior
-    or whose gap stays large must be routed to an exact host LP.
+    on the true minimum; the certified lower bound is ``val - slack_tot``).
+    ``slack_tot`` covers the full duality error: the complementarity term
+    m_total * gap PLUS the dual-residual term sum_i |rd_i| * max(|lb|,|ub|)_i
+    (|rd' th| over the box; the IPM never checks rd at termination, so
+    complementarity alone is not a certificate -- ADVICE r2 #2). Lanes
+    whose start is not strictly interior or whose gap stays large must be
+    routed to an exact host LP.
     """
     As = np.asarray(As, dtype=np.float64)
     bs = np.asarray(bs, dtype=np.float64)
@@ -131,12 +137,15 @@ def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
     A = np.concatenate([As, np.broadcast_to(box_A, (B, 2 * nth, nth))], axis=1)
     b = np.concatenate([bs, np.broadcast_to(box_b, (B, 2 * nth))], axis=1)
 
-    x, obj, gap = lp_ipm_batch(
+    x, obj, gap, rd = lp_ipm_batch(
         jnp.asarray(A), jnp.asarray(b), jnp.asarray(cs, dtype=jnp.float64),
         jnp.asarray(x0, dtype=jnp.float64), n_iter=n_iter,
     )
     m_total = m + 2 * nth
-    return np.asarray(obj), m_total * np.asarray(gap), np.asarray(gap)
+    box_mag = np.maximum(np.abs(lb), np.abs(ub))       # (nth,)
+    rd_term = np.abs(np.asarray(rd)) @ box_mag         # (B,)
+    return (np.asarray(obj), m_total * np.asarray(gap) + rd_term,
+            np.asarray(gap))
 
 
 def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
@@ -189,9 +198,12 @@ def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
     c = np.zeros(nth + 1)
     c[nth] = -1.0  # maximize r
 
-    x, obj, gap = lp_ipm_batch(
+    x, obj, gap, rd = lp_ipm_batch(
         jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), jnp.asarray(x0),
         n_iter=n_iter,
     )
     x = np.asarray(x)
-    return x[:, nth], x[:, :nth], np.asarray(gap)
+    # fold the dual residual into the reported gap so caller thresholds
+    # (route-to-host-LP above ~1e-9) see both convergence failures
+    gap_eff = np.asarray(gap) + np.max(np.abs(np.asarray(rd)), axis=1)
+    return x[:, nth], x[:, :nth], gap_eff

@@ -390,6 +390,57 @@ def phase1_iu_pallas(
             infeas[0] > 0.5, R.T.reshape(B, m, m))
 
 
+def make_iu_stepper(G, softd, immut, *, m, K, chunk,
+                    primal_tol, sign_tol, gamma_tol=3.5e-4, interpret=False):
+    """Fixed-K iteration stepper over LANE-MAJOR solver state, for callers
+    that own the outer loop (the incremental frontier B&B keeps the GI
+    state alive across branch-and-bound rounds so every kernel iteration
+    is productive for every lane -- no lockstep max-iteration sync).
+
+    Returns ``step(du_l, dl_l, eq_l, state) -> (state, active_steps)``
+    where ``state = (lam, act, side, pend, done, infeas, R)`` with the
+    first six ``(m, B)`` f32 and ``R`` ``(m*m, B)`` f32, ``du_l/dl_l/eq_l``
+    ``(m, B)``, and ``active_steps`` the per-lane count of non-frozen
+    iterations this call. ``B`` must be a multiple of ``chunk`` (or equal
+    to it); chunks run under ``lax.map``.
+    """
+    Ttile, Trep, Sgrp = (jnp.asarray(a) for a in make_iu_consts(m))
+    G32 = jnp.asarray(G, jnp.float32)
+    softd_c = jnp.asarray(softd, jnp.float32).reshape(m, 1)
+    immut_c = jnp.asarray(immut, jnp.float32).reshape(m, 1)
+
+    def step(du_l, dl_l, eq_l, state):
+        B = du_l.shape[1]
+        CH = min(chunk, B)
+        call = _build_call(m, CH, primal_tol, sign_tol, gamma_tol, interpret)
+
+        def k_iters(du_c, dl_c, eq_c, st):
+            def body(carry, _):
+                prev = carry[4][0]  # done row
+                out = call(Ttile, Trep, Sgrp, G32, softd_c, du_c, dl_c,
+                           eq_c, immut_c, *carry)
+                return tuple(out), 1.0 - prev
+            st, steps = jax.lax.scan(body, st, None, length=K)
+            return st, jnp.sum(steps, axis=0)
+
+        if CH == B:
+            return k_iters(du_l, dl_l, eq_l, state)
+        assert B % CH == 0, "batch must be a multiple of the lane chunk"
+        nc = B // CH
+        resh = lambda a: a.reshape(a.shape[0], nc, CH).transpose(1, 0, 2)
+        args = tuple(resh(a) for a in (du_l, dl_l, eq_l) + tuple(state))
+
+        def one(a):
+            st, steps = k_iters(a[0], a[1], a[2], tuple(a[3:]))
+            return st + (steps,)
+
+        outs = jax.lax.map(one, args)
+        unresh = lambda a: a.transpose(1, 0, 2).reshape(a.shape[1], nc * CH)
+        return tuple(unresh(o) for o in outs[:7]), outs[7].reshape(nc * CH)
+
+    return step
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("m", "max_iter", "primal_tol", "sign_tol", "gamma_tol", "interpret"),

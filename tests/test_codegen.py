@@ -60,6 +60,34 @@ def test_codegen_matches_python_sampled(tmp_path):
 
 
 @needs_gcc
+def test_codegen_settings_passthrough(tmp_path):
+    """Solver settings flow from ``settings.solver_opts`` into the emitted
+    C defines and change embedded-solver behavior (reference passes
+    opt_settings into DAQP.codegen, src/codegen.jl:25-28): a huge
+    primal_tol makes the C solver accept the unconstrained iterate, so
+    the returned control must differ from the tight-tolerance golden."""
+    mpc, _ = lmpc.mpc_examples("invpend")
+    mpc.settings.solver_opts["primal_tol"] = 50.0
+    mpc.settings.solver_opts["iter_limit"] = 7
+    mpc.setup()
+    cpath = codegen_c(mpc, str(tmp_path / "loose"))
+    text = open(cpath.replace(".c", ".h")).read()
+    assert "#define MPC_PRIMAL_TOL 50" in text
+    assert "#define MPC_ITER_LIMIT 7" in text
+    so = f"{tmp_path}/loose.so"
+    subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, cpath, "-lm"], check=True)
+    u_loose = _cc(ctypes.CDLL(so), [5.0, 5.0, 0.0, 0.0], [0.0, 0.0])
+
+    mpc2, _ = lmpc.mpc_examples("invpend")
+    mpc2.setup()
+    lib = _build(mpc2, str(tmp_path / "tight"))
+    u_tight = _cc(lib, [5.0, 5.0, 0.0, 0.0], [0.0, 0.0])
+    assert abs(u_tight[0] - GOLDEN_U) < 1e-6
+    # the loose tolerance accepts the input-bound-violating iterate
+    assert abs(u_loose[0] - u_tight[0]) > 1e-3
+
+
+@needs_gcc
 def test_codegen_single_precision(tmp_path):
     mpc, _ = lmpc.mpc_examples("invpend")
     mpc.setup()

@@ -17,6 +17,33 @@ def _large_m_mpc():
     return mpc
 
 
+def test_engine_attach_mesh_routes_to_schur():
+    """Engine-level routing (VERDICT r2 #3): after ``attach_mesh`` the
+    SAME ``solve_batch`` entry dispatches to the mp-Schur solver and
+    agrees with the single-chip path."""
+    mpc = _large_m_mpc()
+    e = mpc.engine
+    rng = np.random.default_rng(3)
+    B = 16
+    thetas = np.hstack([
+        rng.uniform(-10, 10, (B, 4)), rng.uniform(-10, 10, (B, 2)),
+        rng.uniform(-2, 2, (B, 1)),
+    ])
+    sol_single = e.solve_batch(thetas)
+
+    mesh = make_mesh(dp=4, mp=2)
+    # below the default mp_threshold nothing changes
+    e.attach_mesh(mesh)
+    assert e._mp_solver is None
+    e.attach_mesh(mesh, force=True)
+    assert e._mp_solver is not None
+    sol_mp = e.solve_batch(thetas)
+    ok = (np.asarray(sol_mp.status) == 1) & (np.asarray(sol_single.status) == 1)
+    assert np.mean(ok) > 0.8
+    assert np.max(np.abs(np.asarray(sol_mp.U)[ok]
+                         - np.asarray(sol_single.U)[ok])) < 1e-7
+
+
 def test_mp_sharded_solver_matches_reference():
     mpc = _large_m_mpc()
     ldp = mpc.engine.ldp
