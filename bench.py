@@ -340,6 +340,40 @@ def main():
     except Exception as ex:
         log(f"offline analyses bench skipped: {ex}")
 
+    # ---- lexicographic hierarchy throughput (VERDICT r2 #8): exact
+    # sequential per-level solves with per-level subset caches and
+    # cross-level warm starts
+    lexb = {}
+    try:
+        from linearmpc_tpu.mpc import MPC as _MPC
+
+        mpc_x = _MPC.from_discrete([[1.0]], [[1.0]], C=[[1.0]], Np=3, Nc=3)
+        mpc_x.set_bounds(umin=[-5.0], umax=[5.0])
+        mpc_x.set_objective(Q=[1e-6], R=[1e-6])
+        mpc_x.add_constraint(Ax=[[1.0]], lb=[1.0], ks=[2, 3], soft=True, prio=0)
+        mpc_x.add_constraint(Ax=[[1.0]], ub=[-1.0], ks=[2, 3], soft=True, prio=1)
+        mpc_x.settings.hierarchy = "lexicographic"
+        mpc_x.setup()
+        e_x = mpc_x.engine
+        B_x = 8192
+        ths_x = rng.uniform(-2.0, 2.0, (B_x, e_x.ldp.n_theta))
+        sol_x = e_x.solve_batch(ths_x)
+        sol_x.U.block_until_ready()
+        best_x = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs_x = [e_x.solve_batch(ths_x) for _ in range(4)]
+            outs_x[-1].U.block_until_ready()
+            best_x = min(best_x, (time.perf_counter() - t0) / 4)
+        st_x = np.asarray(sol_x.status)
+        log(f"lexicographic ({len(e_x.lex.levels)} levels, m={e_x.ldp.m}): "
+            f"{B_x/best_x:,.0f} solves/s, converged {np.mean(st_x == 1):.4f}, "
+            f"mean iters {np.mean(np.asarray(sol_x.iters)):.1f}")
+        lexb = {"lex_solves_per_s": round(B_x / best_x, 1),
+                "lex_converged_frac": float(np.mean(st_x == 1))}
+    except Exception as ex:
+        log(f"lexicographic bench skipped: {ex}")
+
     # ---- hybrid (binary-control) throughput at the REFERENCE-DEFAULT
     # satellite size (Np=20, m=60, 40 binaries): incremental node-frontier
     # B&B with the fused GI kernel (ops/bnb_frontier.py). Compile is
@@ -399,6 +433,7 @@ def main():
         **largem,
         **compact,
         **offline,
+        **lexb,
         **hybrid,
     }))
 

@@ -371,6 +371,11 @@ class IncState(NamedTuple):
     done_l: jax.Array
     infeas_l: jax.Array
     R_l: jax.Array          # (m*m, B)
+    root_lam_l: jax.Array   # snapshot of the root relaxation's solver
+    root_act_l: jax.Array   # state: a valid GI warm start for EVERY node
+    root_side_l: jax.Array  # of the lane (the carried inverse R depends
+    root_R_l: jax.Array     # only on the active set, not on bounds)
+    root_saved: jax.Array   # (B,)
     inc_fval: jax.Array     # (B,)
     inc_active: jax.Array   # (B, m) bool
     inc_side: jax.Array     # (B, m) bool
@@ -392,6 +397,8 @@ def solve_bnb_frontier_inc(
     k_round: int = 8,
     bin_tol: float = 1e-6,
     use_cholesky: bool = True,
+    mid_prune: bool = True,
+    root_warm: bool = True,
 ) -> Solution:
     """Incremental node-frontier B&B (the TPU production hybrid path).
 
@@ -466,6 +473,19 @@ def solve_bnb_frontier_inc(
         pruned_conv = conv & s.inc_found & (fval >= s.inc_fval)
 
         c = jnp.dot(lam.astype(dtype), arrays.G.T, precision=P)
+
+        # mid-solve bound pruning: every GI iterate is dual feasible, so
+        # the dual value g(lam) = fval(U(lam)) - sum_act lam_i (d_side+c)_i
+        # is a valid lower bound on the node optimum at EVERY iteration --
+        # abandon the node as soon as it crosses the incumbent (with an
+        # f32 safety margin), instead of iterating it to convergence
+        d_side_n = jnp.where(side, s.du_l.T, s.dl_l.T).astype(dtype)
+        gval = fval - jnp.sum(
+            jnp.where(act, lam.astype(dtype) * (d_side_n + c), 0.0), axis=1)
+        prune_mid = (s.active_node & ~done & s.inc_found
+                     & (gval >= s.inc_fval + 1e-4 * (1.0 + jnp.abs(s.inc_fval))))
+        if not mid_prune:
+            prune_mid = jnp.zeros(B, bool)
         slack_up = jnp.where(up_f[None, :], du_t + c, big)
         slack_lo = jnp.where(lo_f[None, :], -dl_t - c, big)
         frac = jnp.minimum(slack_up, slack_lo)
@@ -476,11 +496,28 @@ def solve_bnb_frontier_inc(
         frac_jb = jnp.take_along_axis(frac, jb[:, None], axis=1)[:, 0]
         integral = frac_jb <= bin_tol
 
+        # snapshot the ROOT relaxation's solver state on its first
+        # convergence: a valid warm start for every later node of the lane
+        save = conv & ~s.root_saved
+        sv = save[None, :]
+        root_lam_l = jnp.where(sv, lam_l, s.root_lam_l)
+        root_act_l = jnp.where(sv, act_l, s.root_act_l)
+        root_side_l = jnp.where(sv, side_l, s.root_side_l)
+        root_R_l = jnp.where(jnp.broadcast_to(sv, R_l.shape), R_l, s.root_R_l)
+        root_saved = s.root_saved | save
+
         better = conv & (~pruned_conv) & integral & (fval < s.inc_fval)
         bt = better[:, None]
         inc_fval = jnp.where(better, fval, s.inc_fval)
-        inc_active = jnp.where(bt, act, s.inc_active)
-        inc_side = jnp.where(bt, side, s.inc_side)
+        # the recorded active set must PIN every fixed binary row at its
+        # branched bound for the final f64 polish (which solves the
+        # UNCLAMPED problem): a fixed row satisfied at its clamped bound
+        # with zero multiplier never enters the working set, and a
+        # clamped row (du == dl) added mid-solve can carry the wrong side
+        # label on the tie -- force membership and the branched side
+        inc_active = jnp.where(bt, act | s.cur_fixed, s.inc_active)
+        inc_side = jnp.where(bt, jnp.where(s.cur_fixed, s.cur_fside, side),
+                             s.inc_side)
         inc_found = s.inc_found | better
 
         # ---- branch: push the far child, continue the near child in place
@@ -520,12 +557,12 @@ def solve_bnb_frontier_inc(
         # the near child resumes the parent's solver state: clear done
         done_l = done_l * (1.0 - branch.astype(jnp.float32))[None, :]
 
-        finished = (conv & (pruned_conv | integral)) | nfail
+        finished = (conv & (pruned_conv | integral)) | nfail | prune_mid
         active_node = s.active_node & ~finished
         exhausted = s.exhausted | nfail_exh
         node_iter = jnp.where(branch | finished, 0, node_iter)
 
-        # ---- backtrack pops for idle lanes (cold solver reset)
+        # ---- backtrack pops for idle lanes (root-warm solver reset)
         top = prune_tops(top, inc_found, inc_fval, stack_bound)
         can_pop = (~active_node) & (top > 0) & (nodes < node_limit)
         pidx = jnp.maximum(top - 1, 0)
@@ -548,12 +585,20 @@ def solve_bnb_frontier_inc(
         du_l = jnp.where(cpl, du_n.T, du_l)
         dl_l = jnp.where(cpl, dl_n.T, dl_l)
         eq_l = jnp.where(cpl, eq_n.T, eq_l)
-        lam_l = lam_l * (1.0 - cpf)
-        act_l = act_l * (1.0 - cpf)
-        side_l = jnp.where(cpl, 1.0, side_l)
+        # restore the root snapshot (cold zeros/identity before the root
+        # converged -- the init values of the root_* buffers)
+        if root_warm:
+            lam_l = jnp.where(cpl, root_lam_l, lam_l)
+            act_l = jnp.where(cpl, root_act_l, act_l)
+            side_l = jnp.where(cpl, root_side_l, side_l)
+            R_l = jnp.where(jnp.broadcast_to(cpl, R_l.shape), root_R_l, R_l)
+        else:
+            lam_l = lam_l * (1.0 - cpf)
+            act_l = act_l * (1.0 - cpf)
+            side_l = jnp.where(cpl, 1.0, side_l)
+            R_l = jnp.where(jnp.broadcast_to(cpl, R_l.shape), eye_flat, R_l)
         pend_l = pend_l * (1.0 - cpf)
         infeas_l = infeas_l * (1.0 - cpf)
-        R_l = jnp.where(jnp.broadcast_to(cpl, R_l.shape), eye_flat, R_l)
         # popped lanes resume; permanently idle lanes freeze in the kernel
         idle = ~active_node
         done_l = jnp.where((cpl | idle[None, :]),
@@ -564,6 +609,7 @@ def solve_bnb_frontier_inc(
             cur_fixed, cur_fside, active_node, node_iter,
             du_l, dl_l, eq_l,
             lam_l, act_l, side_l, pend_l, done_l, infeas_l, R_l,
+            root_lam_l, root_act_l, root_side_l, root_R_l, root_saved,
             inc_fval, inc_active, inc_side, inc_found,
             nodes, iters, exhausted,
         )
@@ -591,6 +637,11 @@ def solve_bnb_frontier_inc(
         done_l=jnp.zeros((m, B), f32),
         infeas_l=jnp.zeros((m, B), f32),
         R_l=jnp.broadcast_to(eye_flat, (m * m, B)),
+        root_lam_l=jnp.zeros((m, B), f32),
+        root_act_l=jnp.zeros((m, B), f32),
+        root_side_l=jnp.ones((m, B), f32),
+        root_R_l=jnp.broadcast_to(eye_flat, (m * m, B)),
+        root_saved=jnp.zeros(B, bool),
         inc_fval=jnp.full(B, big, dtype),
         inc_active=jnp.zeros((B, m), bool),
         inc_side=jnp.zeros((B, m), bool),
@@ -605,10 +656,19 @@ def solve_bnb_frontier_inc(
         final.inc_found, jnp.int32(1),
         jnp.where(final.exhausted | (final.nodes >= node_limit),
                   jnp.int32(-1), jnp.int32(-2)))
-    hi = arrays if arrays_hi is None else arrays_hi
-    sol = jax.vmap(
-        lambda t, a, sd: polish_solution(hi, t, a, sd, use_cholesky=use_cholesky)
-    )(thetas, final.inc_active, final.inc_side)
+    if arrays_hi is not None and dtype == jnp.float32:
+        # f64-accurate incumbent recovery WITHOUT an emulated-f64 Cholesky
+        # (op-granular f64 decompositions dominate wall time on TPU): f32
+        # masked inverse (batched Cholesky + Newton-Schulz) as the
+        # preconditioner for a short f64 Richardson iteration -- the same
+        # finishing pattern as the engine's production large-m tier
+        sol = _refined_polish(arrays, arrays_hi, thetas,
+                              final.inc_active, final.inc_side)
+    else:
+        hi = arrays if arrays_hi is None else arrays_hi
+        sol = jax.vmap(
+            lambda t, a, sd: polish_solution(hi, t, a, sd, use_cholesky=use_cholesky)
+        )(thetas, final.inc_active, final.inc_side)
     found = final.inc_found
     fm = found[:, None]
     return Solution(
@@ -618,3 +678,30 @@ def solve_bnb_frontier_inc(
         jnp.where(found, sol.fval, big),
         final.iters, status,
     )
+
+
+def _refined_polish(arrays: LDPArrays, hi: LDPArrays, thetas, act, side,
+                    refine: int = 12) -> Solution:
+    """Batched active-set re-solve: f32 masked inverse + f64 Richardson."""
+    from .pallas_iu import init_R_batch
+
+    f64 = jnp.float64
+    R = init_R_batch(arrays.G_solve, act)          # (B, m, m) f32
+    th64 = thetas.astype(f64)
+    du_h = hi.du + th64 @ hi.Dth.T
+    dl_h = hi.dl + th64 @ hi.Dth.T
+    actf = act.astype(f64)
+    d_side = jnp.where(side, du_h, dl_h)
+    rhs = -actf * d_side
+    applyR = lambda v: jnp.einsum(
+        "bij,bj->bi", R, v.astype(jnp.float32), precision=PREC).astype(f64)
+    mask_apply = lambda v: actf * ((v * actf) @ hi.G_solve.T) + (1.0 - actf) * v
+    lam = applyR(rhs)
+    for _ in range(refine):
+        lam = lam + applyR(rhs - mask_apply(lam))
+    U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
+    f_t = hi.f + th64 @ hi.f_theta.T
+    fval = 0.5 * jnp.einsum("bi,ij,bj->b", U, hi.H, U) + jnp.sum(f_t * U, axis=1)
+    B = thetas.shape[0]
+    return Solution(U, lam, act, side, fval,
+                    jnp.zeros(B, jnp.int32), jnp.ones(B, jnp.int32))

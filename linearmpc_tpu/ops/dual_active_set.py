@@ -603,24 +603,30 @@ def polish_solution(
     status=None,
 ) -> Solution:
     """Direct high-precision re-solve of a known optimal active set
-    (used to polish branch-and-bound incumbents)."""
+    (used to polish branch-and-bound incumbents). All matvecs run at
+    HIGHEST precision: when ``ldp_hi`` is float32 (e.g. x64 disabled on
+    TPU) the default TPU matmul would otherwise truncate to bf16."""
+    PH = jax.lax.Precision.HIGHEST
     hi = ldp_hi.G.dtype
     theta_hi = theta.astype(hi)
-    du_hi = ldp_hi.du + ldp_hi.Dth @ theta_hi
-    dl_hi = ldp_hi.dl + ldp_hi.Dth @ theta_hi
+    du_hi = ldp_hi.du + jnp.dot(ldp_hi.Dth, theta_hi, precision=PH)
+    dl_hi = ldp_hi.dl + jnp.dot(ldp_hi.Dth, theta_hi, precision=PH)
     actf = active.astype(hi)
     d_side = jnp.where(side, du_hi, dl_hi)
     rhs_hi = -actf * d_side
     if ldp_hi.subset_inv is not None:
         m = ldp_hi.G.shape[0]
         pow2 = jnp.asarray(2 ** np.arange(m), dtype=jnp.int32)
-        lam = ldp_hi.subset_inv[jnp.sum(jnp.where(active, pow2, 0))] @ rhs_hi
+        lam = jnp.dot(ldp_hi.subset_inv[jnp.sum(jnp.where(active, pow2, 0))],
+                      rhs_hi, precision=PH)
     else:
         Gmask = ldp_hi.G_solve * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
         lam = _masked_solve(Gmask, rhs_hi, use_cholesky)
-    U = ldp_hi.u_off + ldp_hi.Uth_off @ theta_hi - ldp_hi.HinvET @ lam
-    f_t = ldp_hi.f + ldp_hi.f_theta @ theta_hi
-    fval = 0.5 * U @ (ldp_hi.H @ U) + f_t @ U
+    U = (ldp_hi.u_off + jnp.dot(ldp_hi.Uth_off, theta_hi, precision=PH)
+         - jnp.dot(ldp_hi.HinvET, lam, precision=PH))
+    f_t = ldp_hi.f + jnp.dot(ldp_hi.f_theta, theta_hi, precision=PH)
+    fval = 0.5 * jnp.dot(U, jnp.dot(ldp_hi.H, U, precision=PH), precision=PH) \
+        + jnp.dot(f_t, U, precision=PH)
     iters = jnp.int32(0) if iters is None else iters
     status = jnp.int32(1) if status is None else status
     return Solution(U, lam, active, side, fval, iters, status)

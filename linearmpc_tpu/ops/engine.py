@@ -800,11 +800,14 @@ class SolverEngine:
                         m=ldp.m, K=k_round, chunk=fr_chunk,
                         primal_tol=self.primal_tol, sign_tol=self.sign_tol,
                         interpret=fr_interp)
+                    _midp = _os_b.environ.get("LINEARMPC_TPU_BNB_MIDPRUNE", "1") != "0"
+                    _rootw = _os_b.environ.get("LINEARMPC_TPU_BNB_ROOTWARM", "1") != "0"
                     self._frontier_batched = jax.jit(
                         lambda arrays, hi, ths: solve_bnb_frontier_inc(
                             arrays, hi, ths, stepper, stack_cap=stack_cap,
                             node_limit=self.bnb_node_limit, node_cap=node_cap,
                             k_round=k_round, use_cholesky=self.symmetric,
+                            mid_prune=_midp, root_warm=_rootw,
                         )
                     )
                 else:
@@ -849,7 +852,14 @@ class SolverEngine:
                     "active": np.asarray(sol.active), "side": np.asarray(sol.side)}
             return np.asarray(sol.U, dtype=np.float64), float(sol.fval), int(sol.status), info
         if self.has_binaries:
-            sol: Solution = self._bnb(self.arrays, self.arrays_hi, theta)
+            if getattr(self, "frontier_pallas", False):
+                # the per-lane DFS nests while_loops op-granularly and
+                # faults the TPU at reference sizes; route singles through
+                # the frontier (padded to one 128-lane chunk)
+                sol_b = self.solve_batch(theta[None])
+                sol = Solution(*(a[0] for a in sol_b))
+            else:
+                sol = self._bnb(self.arrays, self.arrays_hi, theta)
         else:
             sol = self._single(self.arrays, self.arrays_hi, theta)
         status = int(sol.status)

@@ -61,13 +61,25 @@ class LexSolver:
         rho_val = 1.0 / float(soft_weight)
         self.level_arrays: list[tuple[LDPArrays, jax.Array]] = []
         prio = np.asarray(ldp.prio)
+        from .ldp import SUBSET_CACHE_MAX_M, precompute_subset_inverses
+
         for lvl in self.levels:
             mask = soft & (prio == lvl)
             later = soft & (prio > lvl)
             G_solve = jnp.asarray(G + np.diag(np.where(mask, rho_val, 0.0)))
             immut = jnp.asarray(np.asarray(ldp.is_immutable) | later)
+            # per-level working-set inverse cache (each level has its own
+            # soft diagonal, hence its own cache): collapses the level's
+            # masked KKT solves to a gather + matvec for small m
+            subset = None
+            if 0 < m <= SUBSET_CACHE_MAX_M:
+                import dataclasses
+
+                ldp_lvl = dataclasses.replace(
+                    ldp, rho_soft=np.where(mask, rho_val, 0.0))
+                subset = jnp.asarray(precompute_subset_inverses(ldp_lvl))
             arrays = base._replace(G_solve=G_solve, is_immutable=immut,
-                                   subset_inv=None)
+                                   subset_inv=subset)
             self.level_arrays.append((arrays, jnp.asarray(mask)))
         self.base = base
         self._batched = jax.jit(self._solve_batch_impl)
@@ -84,18 +96,25 @@ class LexSolver:
         all_done = jnp.ones(B, dtype=bool)
         iters = jnp.zeros(B, jnp.int32)
         lam = jnp.zeros((B, m))
+        # per-level warm starts: the previous level differs only in the
+        # soft diagonal, the un-frozen rows, and the violation offsets, so
+        # its multipliers/working set are a few active-set changes away
+        # (DAQP reuses its workspace across hierarchy levels the same way)
+        act_w = jnp.broadcast_to(self.base.is_eq, (B, m))
+        side_w = jnp.ones((B, m), dtype=bool)
 
         for arrays, mask in self.level_arrays:
-            def level_solve(dut, dlt, arrays=arrays):
+            def level_solve(dut, dlt, l0, a0, s0, arrays=arrays):
                 return _active_set_loop(
                     arrays, dut, dlt, arrays.is_eq, arrays.is_immutable,
-                    jnp.zeros(m), arrays.is_eq, jnp.ones(m, dtype=bool),
+                    l0, a0 | arrays.is_eq, s0,
                     max_iter=self.iter_limit, primal_tol=self.primal_tol,
                     sign_tol=self.sign_tol, use_cholesky=True,
                 )
 
-            final = jax.vmap(level_solve)(du_t + off_u, dl_t - off_l)
-            lam = final.lam
+            final = jax.vmap(level_solve)(du_t + off_u, dl_t - off_l,
+                                          lam, act_w, side_w)
+            lam, act_w, side_w = final.lam, final.active, final.side
             all_done = all_done & final.done
             iters = iters + final.iters
             c = lam @ base.G.T

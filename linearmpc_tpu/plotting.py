@@ -124,6 +124,52 @@ def plot_explicit_partition(empc, parameters=(0, 1), *, fix=None):
     return fig
 
 
+def plot_explicit_feedback(empc, parameters=(0, 1), control=0, *, fix=None):
+    """Piecewise-affine feedback surface u_control(theta) over a 2D
+    parameter slice: one 3D facet per critical region (reference explicit
+    recipe plots the same PWA surface, src/explicit.jl:97-133)."""
+    plt = _mpl()
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    free_ids = list(parameters)
+    nth = empc.nth
+    fixed_ids = [i for i in range(nth) if i not in free_ids]
+    fix_vals = np.zeros(nth - 2) if fix is None else np.asarray(fix, dtype=np.float64)
+    lb = empc.lb[free_ids]
+    ub = empc.ub[free_ids]
+
+    fig = plt.figure(figsize=(7, 5))
+    ax = fig.add_subplot(projection="3d")
+    cmap = plt.get_cmap("viridis")
+    zmin, zmax = np.inf, -np.inf
+    facets = []
+    for A2, b2, cr in _slice_regions(empc.regions, free_ids, fix_vals, nth):
+        verts = _poly_vertices(A2, b2, lb, ub)
+        if verts is None:
+            continue
+        # affine feedback on the slice: u = F[:, free] th2 + F[:, fixed] fv + g
+        Fu = cr.F[control]
+        gu = cr.g[control] + Fu[fixed_ids] @ fix_vals
+        z = verts @ Fu[free_ids] + gu
+        facets.append(np.column_stack([verts, z]))
+        zmin, zmax = min(zmin, z.min()), max(zmax, z.max())
+    span = max(zmax - zmin, 1e-12)
+    for f3 in facets:
+        zc = (f3[:, 2].mean() - zmin) / span
+        ax.add_collection3d(Poly3DCollection(
+            [f3], facecolors=cmap(zc), edgecolors="k", linewidths=0.3, alpha=0.9))
+    names = empc.mpc.get_parameter_names() if empc.mpc is not None else None
+    ax.set_xlabel(names[free_ids[0]] if names else f"theta_{free_ids[0]}")
+    ax.set_ylabel(names[free_ids[1]] if names else f"theta_{free_ids[1]}")
+    ax.set_zlabel(f"u_{control}")
+    ax.set_xlim(lb[0], ub[0])
+    ax.set_ylim(lb[1], ub[1])
+    ax.set_zlim(zmin, zmax)
+    ax.set_title(f"PWA feedback over {len(facets)} regions")
+    fig.tight_layout()
+    return fig
+
+
 def plot_certification(result, parameters=(0, 1), *, fix=None, resolution=80):
     """Iteration-count map over a 2D parameter slice
     (reference src/certify.jl:31-59). Rasterized: for each grid point the

@@ -146,6 +146,47 @@ def mfu_report(
     return out
 
 
+# -- why the headline sits near 13M solves/s/chip (roofline argument) -------
+#
+# The pendulum headline (m=5, n=5, B=32768) is NOT FLOP-limited: the
+# phase-1 kernel's model work is ~8 kFLOP/solve, so 13M solves/s is
+# ~0.3 TF against a ~33 TF f32-HIGHEST ceiling (MFU ~0.5-1%). The binding
+# constraints, measured on v5e (BENCH_r02/r03 and the K-sweep probes in
+# round 3):
+#
+#   1. VPU/issue-bound kernel iterations. A gridless phase-1 iteration at
+#      m=5 is ~85% elementwise mask algebra on (m, B) registers -- VPU
+#      work at 8x128/cycle, not MXU work. The measured per-iteration cost
+#      (~8-11 us per 2048-lane chunk) matches the VPU leg, and the fixed
+#      bulk scan runs 2m+20 = 30 iterations regardless of per-lane
+#      convergence (no early exit in lockstep cold batches): ~1.2 ms.
+#   2. The tiered finishers are a further ~1.3 ms of *dependent* work:
+#      the double-single polish re-solves every lane (one more gridless
+#      kernel pass over all chunks, ~1 ms) and the f64 straggler tier
+#      re-solves the top-256 worst lanes in emulated f64 (~1 ms,
+#      partially overlapped by XLA). They cannot start before phase 1
+#      finishes (they consume its working sets), so the program's
+#      critical path is ~2.5 ms/batch -> 12-13M solves/s.
+#
+# Paths not taken, with reasons:
+#   * >= 2 iterations per kernel dispatch: in-kernel loops (fori/while
+#     and even straight-line unrolls) hang or fail this Mosaic stack
+#     (CLAUDE.md); the scan-outside-kernel structure is forced.
+#   * batched 3D dot_general inside the kernel (would collapse the
+#     movement-matrix FLOPs): compiles on this stack but lowers to a
+#     serial per-lane loop -- measured 891 us for a (128,60,60)x(128,60)
+#     batched matvec vs ~50 us for the whole movement-matrix iteration.
+#   * skipping the polish for already-clean lanes: the KKT residual that
+#     decides cleanliness is itself computed by the polish kernel.
+#
+# The honest ceiling statement: at m=5 the solver moves ~100 bytes of
+# per-lane state through ~30 VPU-bound iterations plus two finishing
+# passes; 12-13M solves/s/chip is within ~2x of the VPU-leg bound for
+# this program shape, and 128x the 1e5 target. Larger problems (m >= 24)
+# are where the MXU legs engage (see iu_flops_per_lane_iter; the m=48
+# line runs at ~20-30% HBM utilization on the carried inverse).
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """XLA profiler trace around a block (view with TensorBoard/XProf)."""

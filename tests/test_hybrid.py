@@ -198,6 +198,43 @@ def test_frontier_matches_enumeration():
         assert abs(float(sol.fval[i]) - best[0]) < 1e-8
 
 
+def test_frontier_incremental_interpret_matches_enumeration(monkeypatch):
+    """The INCREMENTAL Pallas frontier (the TPU production hybrid path)
+    in kernel-interpret mode vs brute-force enumeration. Regression for
+    the round-3 incumbent-pinning bug: fixed binary rows satisfied at
+    their clamped bound with zero multiplier must still be pinned (at the
+    branched side) in the recorded active set, or the final f64 polish
+    re-solves the unclamped problem and drifts off the bound."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("LINEARMPC_TPU_IUPALLAS", "interpret")
+    mpc = MPC.from_discrete([[1.0, 0.1], [0, 1.0]], [[0.0], [1.0]], Np=4, Nc=4)
+    mpc.set_objective(Q=[1.0, 1.0], R=[0.1], Rr=[0.0])
+    mpc.set_bounds(umin=[0.0], umax=[1.0])
+    mpc.set_binary_controls([0])
+    mpc.settings.reference_tracking = False
+    mpc.setup(dtype=jnp.float32)
+    e = mpc.engine
+    assert getattr(e, "frontier_pallas", False)
+
+    rng = np.random.default_rng(5)
+    B = 6
+    ths = rng.uniform(-1.0, 1.0, (B, e.ldp.n_theta))
+    sol = e.solve_batch(ths)  # padded to one 128-lane interpret chunk
+    qp = mpc.mpQP
+    for i in range(B):
+        assert int(sol.status[i]) == 1
+        f_t = qp.f + qp.f_theta @ ths[i]
+        best = (np.inf, None)
+        for bits in range(16):
+            U = np.array([(bits >> k) & 1 for k in range(4)], dtype=float)
+            val = 0.5 * U @ qp.H @ U + f_t @ U
+            if val < best[0]:
+                best = (val, U)
+        assert np.allclose(np.asarray(sol.U[i]), best[1], atol=1e-5), i
+        assert abs(float(sol.fval[i]) - best[0]) < 1e-6
+
+
 def test_bnb_warm_start_matches_cold():
     """Warm-starting child nodes from the parent relaxation (DAQP-style
     workspace reuse) must not change solutions, only iteration counts."""

@@ -22,3 +22,17 @@ def test_plot_explicit_partition():
     empc = build_explicit(mpc, prange=rng)
     fig = plot_explicit_partition(empc, parameters=(0, 1))
     assert fig is not None
+
+
+def test_plot_explicit_feedback_surface():
+    """PWA feedback surface (reference src/explicit.jl:97-133 plots both
+    the partition and the feedback law)."""
+    from linearmpc_tpu.plotting import plot_explicit_feedback
+
+    mpc, rng = lmpc.mpc_examples("invpend")
+    mpc.setup()
+    empc = build_explicit(mpc, prange=rng)
+    fig = plot_explicit_feedback(empc, parameters=(0, 1), control=0)
+    assert fig is not None
+    ax = fig.axes[0]
+    assert ax.name == "3d"
