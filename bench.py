@@ -176,7 +176,11 @@ def main():
     try:
         from linearmpc_tpu.profiling import iu_bytes_per_lane_iter, iu_flops_per_lane_iter
 
-        mpc_l, _ = lmpc.mpc_examples("invpend", 30, 8)
+        # Np=50 keeps the closed loop stable (the shorter Np=30 horizon is
+        # genuinely destabilizing for this plant: |x| grows ~e^{0.02 k} and
+        # lanes exit the hard +/-18 box around step ~400, which made 37%
+        # of the r2 rollout line genuinely infeasible); Nc=8 keeps m=48
+        mpc_l, _ = lmpc.mpc_examples("invpend", 50, 8)
         mpc_l.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
                              ks=range(2, 12))
         mpc_l.setup(dtype=engine.dtype)
@@ -259,7 +263,7 @@ def main():
     # horizon; the bulk phase carries an s_max x s_max slot inverse
     compact = {}
     try:
-        mpc_c, _ = lmpc.mpc_examples("invpend", 30, 8)
+        mpc_c, _ = lmpc.mpc_examples("invpend", 50, 8)
         mpc_c.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
                              ks=range(2, 32))
         mpc_c.setup(dtype=engine.dtype)

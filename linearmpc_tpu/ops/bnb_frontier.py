@@ -137,7 +137,7 @@ def make_pallas_relax(arrays: LDPArrays, rho_soft, *, max_iter: int,
                 l0, a0.astype(jnp.float32), s0.astype(jnp.float32), R0,
                 m=m, max_iter=max_iter,
                 primal_tol=primal_tol, sign_tol=sign_tol,
-                interpret=interpret,
+                interpret=interpret, retry_infeas=not cold,
             )
             return out[:6]  # drop the carried R
 

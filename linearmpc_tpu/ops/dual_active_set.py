@@ -549,15 +549,48 @@ def solve_single(
         U = ldp_hi.u_off + ldp_hi.Uth_off @ theta_hi - ldp_hi.HinvET @ final.lam
         f_t = ldp_hi.f + ldp_hi.f_theta @ theta_hi
         fval = 0.5 * U @ (ldp_hi.H @ U) + f_t @ U
-        status = jnp.where(final.done, jnp.int32(1), jnp.int32(-1))
+        # full-row primal check, ACTIVE rows included: on a primal-
+        # infeasible instance every violated row can end up active, where
+        # the loop's candidate test (inactive rows only) never sees it --
+        # the ridge then converges to a pseudo-solution with huge
+        # multipliers and status 1 (observed: diverged rollouts at
+        # |x| ~ 1e4 reported "converged")
+        feas = _primal_feasible(ldp_hi, du_hi, dl_hi, final.lam,
+                                final.active, final.side, primal_tol)
+        status = jnp.where(final.done & feas, jnp.int32(1),
+                           jnp.where(final.done, jnp.int32(-3), jnp.int32(-1)))
         return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
 
     U = ldp.u_off + ldp.Uth_off @ theta_lo - ldp.HinvET @ final.lam
     f_t = ldp.f + ldp.f_theta @ theta_lo
     fval = 0.5 * U @ (ldp.H @ U) + f_t @ U
-    status = jnp.where(final.infeas, jnp.int32(-3),
+    feas = _primal_feasible(ldp, du_t, dl_t, final.lam,
+                            final.active, final.side, primal_tol)
+    status = jnp.where(final.infeas | (final.done & ~feas), jnp.int32(-3),
                        jnp.where(final.done, jnp.int32(1), jnp.int32(-1)))
     return Solution(U, final.lam, final.active, final.side, fval, final.iters, status)
+
+
+def _primal_feasible(ldp: LDPArrays, du_t, dl_t, lam, act, side, primal_tol):
+    """Sound converged-point check covering ACTIVE rows, which the loop's
+    candidate test (inactive rows only) never sees: on a primal-infeasible
+    instance every violated row can end up active, where the Cholesky
+    ridge converges to a pseudo-solution with huge multipliers -- its
+    working-set KKT residual (G_solve lam + d_side on active rows, soft
+    diagonal included so legitimately-violated soft rows pass) is then
+    O(ridge * |lam|) = O(violation), not ~0. Inactive rows use the loop's
+    own candidate test."""
+    P = jax.lax.Precision.HIGHEST
+    actf = act.astype(lam.dtype)
+    d_side = jnp.where(side, du_t, dl_t)
+    res_act = (actf * jnp.dot(ldp.G_solve, lam * actf, precision=P)
+               + actf * d_side)
+    scale = 1.0 + jnp.max(jnp.abs(actf * d_side))
+    c = jnp.dot(ldp.G, lam, precision=P)
+    inact = ~act & ~ldp.is_immutable
+    viol_in = jnp.max(jnp.where(inact, jnp.maximum(-(du_t + c), dl_t + c), 0.0))
+    return (jnp.max(jnp.abs(res_act)) <= 10.0 * primal_tol * scale) \
+        & (viol_in <= 10.0 * primal_tol * (1.0 + jnp.max(jnp.abs(c))))
 
 
 def finish_from_state(

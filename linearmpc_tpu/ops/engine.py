@@ -208,6 +208,10 @@ class SolverEngine:
                         m=m_iu, max_iter=bulk_cap,
                         primal_tol=self.primal_tol, sign_tol=self.sign_tol,
                         interpret=self._iu_pallas_interpret,
+                        # cold entry states are exact; dual-ray verdicts from
+                        # them need no cold re-check (warm entries do -- a
+                        # drifted carried R can fabricate a ray)
+                        retry_infeas=not cold,
                     )
 
                 outs = jax.lax.map(one_chunk, chunk_in)
@@ -437,28 +441,101 @@ class SolverEngine:
             P_c = jax.lax.Precision.HIGHEST
             bulk_cap_c = min(self.iter_limit, 2 * m_c + 24)
 
+            # fused Pallas compact bulk phase: one gridless kernel per GI
+            # iteration over (SEL, Rw) slot state instead of ~40 HLO ops
+            # streaming gathers/scatters through HBM per iteration.
+            # LINEARMPC_TPU_CIUPALLAS=0 opts out, =interpret forces the
+            # Mosaic interpreter (CPU differential tests).
+            from .pallas_ciu import ciu_max_chunk_lanes
+
+            _ciup_env = _os_c.environ.get("LINEARMPC_TPU_CIUPALLAS", "1")
+            self._ciu_pallas_interpret = _ciup_env == "interpret"
+            self._ciu_pallas_chunk = ciu_max_chunk_lanes(m_c, s_max)
+            self.use_ciu_pallas = (
+                _ciup_env != "0"
+                and self.dtype == jnp.float32
+                and self._ciu_pallas_chunk >= 128
+                and (jax.default_backend() != "cpu" or self._ciu_pallas_interpret)
+            )
+
+            def _ciu_bulk_pallas(arr, du_t, dl_t):
+                """Cold Pallas compact bulk over VMEM-bounded lane chunks.
+                Returns (lam, act, side, iters, infeas, ovf, SEL (B,s,m))."""
+                from .pallas_ciu import phase1_ciu_pallas_while
+
+                B = du_t.shape[0]
+                eps32 = float(np.finfo(np.float32).eps)
+                softd = jnp.asarray(
+                    np.asarray(ldp.rho_soft, np.float64) + 4 * eps32, jnp.float32)
+                CH = min(self._ciu_pallas_chunk, B)
+                nc = (B + CH - 1) // CH
+                pad = nc * CH - B
+                eqf = arr.is_eq.astype(jnp.float32)
+                immutf = arr.is_immutable.astype(jnp.float32)
+                has_eq = bool(np.asarray(ldp.is_eq).any())
+
+                def resh(a):
+                    if pad:
+                        a = jnp.concatenate([a, a[:pad]])
+                    return a.reshape((nc, CH) + a.shape[1:])
+
+                def one_chunk(args):
+                    du_c, dl_c = args
+                    if has_eq:
+                        from .pallas_ciu import init_compact_batch
+
+                        a0 = jnp.broadcast_to(arr.is_eq, (CH, m_c))
+                        Rw0, SEL0, _o = init_compact_batch(arr.G_solve, a0, s_max)
+                    else:
+                        a0 = jnp.zeros((CH, m_c), bool)
+                        Rw0 = jnp.broadcast_to(
+                            jnp.eye(s_max, dtype=jnp.float32), (CH, s_max, s_max))
+                        SEL0 = jnp.zeros((CH, s_max * m_c), jnp.float32)
+                    out = phase1_ciu_pallas_while(
+                        arr.G, softd, du_c, dl_c, eqf, immutf,
+                        jnp.zeros((CH, m_c), jnp.float32),
+                        a0.astype(jnp.float32), jnp.ones((CH, m_c), jnp.float32),
+                        SEL0, Rw0,
+                        m=m_c, s=s_max, max_iter=bulk_cap_c,
+                        primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+                        interpret=self._ciu_pallas_interpret, retry_infeas=False,
+                    )
+                    lam, act, side, iters, done, infeas, ovf, SEL, Rw = out
+                    return (lam, act, side, iters, infeas, ovf,
+                            SEL.reshape(CH, s_max, m_c), Rw)
+
+                outs = jax.lax.map(one_chunk, (resh(du_t), resh(dl_t)))
+                unsh = lambda a: a.reshape((nc * CH,) + a.shape[2:])[:B]
+                return tuple(unsh(o) for o in outs)
+
             def _ciu_batch(arr, hi, thetas, lam0=None, act0=None, side0=None):
                 B = thetas.shape[0]
                 th32 = thetas.astype(self.dtype)
                 du_t = arr.du + jnp.dot(th32, arr.Dth.T, precision=P_c)
                 dl_t = arr.dl + jnp.dot(th32, arr.Dth.T, precision=P_c)
-                if lam0 is None:
-                    lam0 = jnp.zeros((B, m_c), self.dtype)
-                    act0 = jnp.zeros((B, m_c), bool)
-                    side0 = jnp.ones((B, m_c), bool)
-                act0 = act0 | arr.is_eq
-                st, ovf, cc = jax.vmap(
-                    lambda dut, dlt, l0, a0, s0: _active_set_loop_ciu(
-                        arr, dut, dlt, arr.is_eq, arr.is_immutable,
-                        l0.astype(self.dtype), a0, s0,
-                        s_max=s_max, max_iter=bulk_cap_c,
-                        primal_tol=self.primal_tol, sign_tol=self.sign_tol,
-                        return_carry=True,
-                    )
-                )(du_t, dl_t, lam0, act0, side0)
-                lam32, act, side = st.lam, st.active, st.side
-                iters, infeas32 = st.iters, st.infeas
-                Rw, slots, occ = cc
+                cold = lam0 is None
+                use_pallas_bulk = (self.use_ciu_pallas and cold and B % 128 == 0)
+                if use_pallas_bulk:
+                    (lam32, act, side, iters, infeas32, ovf, SEL, Rw_p) = (
+                        _ciu_bulk_pallas(arr, du_t, dl_t))
+                else:
+                    if cold:
+                        lam0 = jnp.zeros((B, m_c), self.dtype)
+                        act0 = jnp.zeros((B, m_c), bool)
+                        side0 = jnp.ones((B, m_c), bool)
+                    act0 = act0 | arr.is_eq
+                    st, ovf, cc = jax.vmap(
+                        lambda dut, dlt, l0, a0, s0: _active_set_loop_ciu(
+                            arr, dut, dlt, arr.is_eq, arr.is_immutable,
+                            l0.astype(self.dtype), a0, s0,
+                            s_max=s_max, max_iter=bulk_cap_c,
+                            primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+                            return_carry=True,
+                        )
+                    )(du_t, dl_t, lam0, act0, side0)
+                    lam32, act, side = st.lam, st.active, st.side
+                    iters, infeas32 = st.iters, st.infeas
+                    Rw, slots, occ = cc
 
                 f64 = jnp.float64
                 th64 = thetas.astype(f64)
@@ -466,20 +543,31 @@ class SolverEngine:
                 dl_h = hi.dl + th64 @ hi.Dth.T
                 actf = act.astype(f64)
                 actf32 = act.astype(jnp.float32)
-                occf = occ.astype(jnp.float32)
                 d_side = jnp.where(side, du_h, dl_h)
                 rhs = -actf * d_side
-                brow = jnp.arange(B)[:, None]
 
-                def applyR(v):
-                    # compact preconditioner: Rw on the working-set slots,
-                    # identity on inactive rows
-                    v32 = v.astype(jnp.float32)
-                    w = jnp.take_along_axis(v32, slots, axis=1) * occf
-                    y = jnp.einsum("bij,bj->bi", Rw, w, precision=P_c)
-                    full = jnp.zeros_like(v32).at[brow, slots].add(
-                        jnp.where(occ, y, 0.0))
-                    return (full + v32 * (1.0 - actf32)).astype(f64)
+                if use_pallas_bulk:
+                    def applyR(v):
+                        # compact preconditioner through the kernel's
+                        # one-hot slot assignment SEL (B, s, m)
+                        v32 = v.astype(jnp.float32)
+                        w = jnp.einsum("bsm,bm->bs", SEL, v32, precision=P_c)
+                        y = jnp.einsum("bij,bj->bi", Rw_p, w, precision=P_c)
+                        full = jnp.einsum("bsm,bs->bm", SEL, y, precision=P_c)
+                        return (full + v32 * (1.0 - actf32)).astype(f64)
+                else:
+                    occf = occ.astype(jnp.float32)
+                    brow = jnp.arange(B)[:, None]
+
+                    def applyR(v):
+                        # compact preconditioner: Rw on the working-set
+                        # slots, identity on inactive rows
+                        v32 = v.astype(jnp.float32)
+                        w = jnp.take_along_axis(v32, slots, axis=1) * occf
+                        y = jnp.einsum("bij,bj->bi", Rw, w, precision=P_c)
+                        full = jnp.zeros_like(v32).at[brow, slots].add(
+                            jnp.where(occ, y, 0.0))
+                        return (full + v32 * (1.0 - actf32)).astype(f64)
 
                 mask_apply = lambda v: (
                     actf * ((v * actf) @ hi.G_solve.T) + (1.0 - actf) * v)

@@ -443,7 +443,8 @@ def make_iu_stepper(G, softd, immut, *, m, K, chunk,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "max_iter", "primal_tol", "sign_tol", "gamma_tol", "interpret"),
+    static_argnames=("m", "max_iter", "primal_tol", "sign_tol", "gamma_tol",
+                     "interpret", "retry_infeas"),
 )
 def phase1_iu_pallas_while(
     G, softd, du_t, dl_t, eq, immut, lam0, act0, side0, R0,
@@ -454,9 +455,20 @@ def phase1_iu_pallas_while(
     sign_tol: float,
     gamma_tol: float = 3.5e-4,
     interpret: bool = False,
+    retry_infeas: bool = True,
 ):
     """Early-exit variant: stops as soon as every lane converges (the right
-    bulk phase for warm-started closed-loop rollouts)."""
+    bulk phase for warm-started closed-loop rollouts).
+
+    ``retry_infeas``: a dual-unbounded-ray verdict reached from a WARM
+    carried state is not trusted -- the carried inverse R drifts over
+    hundreds of warm-started steps and a drifted gamma can fabricate a
+    ray on a feasible instance (observed: 37% false -3 rates in the
+    500-step large-m rollout bench). Flagged lanes are reset to a cold
+    start (empty working set, exact identity inverse) and re-run; only a
+    ray found from cold stands. Costs one extra while_loop that exits
+    after a single cond evaluation when nothing was flagged. Pass False
+    when the entry state is already a trustworthy cold start."""
     B = du_t.shape[0]
     assert B % LANES == 0, "batch must be a multiple of 128"
     (Ttile, Trep, Sgrp, Gd, softd_c, du_l, dl_l, eq_c, immut_c,
@@ -479,10 +491,25 @@ def phase1_iu_pallas_while(
             lam, act, side, pend, done, infeas, R)
         return (lam, act, side, pend, done, infeas, R, iters, it + 1)
 
-    lam, act, side, _pend, done, infeas, R, iters, _ = jax.lax.while_loop(
+    lam, act, side, pend, done, infeas, R, iters, _ = jax.lax.while_loop(
         cond, body,
         (lam_l, act_l, side_l, zero_state, zero_state, zero_state, R_l,
          iters0, jnp.int32(0)),
     )
+    if retry_infeas:
+        flag = infeas[0:1]                      # (1, B) in {0, 1}
+        keep = 1.0 - flag
+        eye_flat = jnp.asarray(np.eye(m, dtype=np.float32).reshape(m * m, 1))
+        lam = lam * keep
+        act = act * keep                        # empty set is a valid cold
+        side = side * keep + flag               # start even with eq rows
+        pend = pend * keep
+        done = done * keep
+        infeas = infeas * keep
+        R = R * keep + eye_flat * flag
+        lam, act, side, _pend, done, infeas, R, iters, _ = jax.lax.while_loop(
+            cond, body,
+            (lam, act, side, pend, done, infeas, R, iters, jnp.int32(0)),
+        )
     return (lam.T, act.T > 0.5, side.T > 0.5, iters.astype(jnp.int32),
             done[0] > 0.5, infeas[0] > 0.5, R.T.reshape(B, m, m))

@@ -26,10 +26,17 @@ def test_large_m_cholesky_path_matches_reference():
     ])
     sol = mpc.engine.solve_batch(thetas)
     U = np.asarray(sol.U)
-    assert np.all(np.asarray(sol.status) == 1)
+    st = np.asarray(sol.status)
+    # the +/-12 sampling box contains a few genuinely infeasible instances
+    # (the oracle cannot solve them either); the engine must never report
+    # those as optimal -- that was a real bug: once every violated row
+    # goes active, the ridge converges to a pseudo-solution that the
+    # inactive-rows-only candidate test calls "converged"
+    assert np.all((st == 1) | (st == -3))
     for i in range(B):
         Ur, *_, s = solve_ldp_numpy(mpc.engine.ldp, thetas[i])
         if s == 1:
+            assert st[i] == 1
             assert np.max(np.abs(U[i] - Ur)) < 1e-8
 
 
