@@ -305,6 +305,70 @@ def main():
             "compact_resolved_frac": float(np.mean(st_c != -1)),
             "compact_max_control_error": err_c,
         }
+
+        # warm-started closed loop at compact m: the fused slot-carry
+        # rollout (SEL/Rw riding the scan)
+        if hasattr(e_c, "fused_rollout_solve_ciu"):
+            from linearmpc_tpu.rollout import build_rollout
+
+            roll_c = build_rollout(mpc_c)
+            Br_c, Nr_c = 2048, 300
+            x0_c = rng.uniform(-0.25, 0.25, (Br_c, 4))
+            res_c = roll_c(x0_c, np.zeros((Br_c, 2)), None, N=Nr_c)
+            res_c.us.block_until_ready()
+            t0 = time.perf_counter()
+            res_c = roll_c(x0_c, np.zeros((Br_c, 2)), None, N=Nr_c)
+            res_c.us.block_until_ready()
+            t_rc = time.perf_counter() - t0
+            st_rc = np.asarray(res_c.status)
+            log(f"compact rollout (m={e_c.ldp.m}): "
+                f"{Br_c*Nr_c/t_rc:,.0f} control-steps/s/chip "
+                f"({Br_c} x {Nr_c} in {t_rc:.2f} s, warm slot carry; "
+                f"converged {np.mean(st_rc == 1):.4f}, "
+                f"infeasible {np.mean(st_rc == -3):.4f}, "
+                f"mean iters {np.mean(np.asarray(res_c.iters)):.2f})")
+            compact["compact_rollout_steps_per_s"] = round(Br_c * Nr_c / t_rc, 1)
+            compact["compact_rollout_converged_frac"] = float(np.mean(st_rc == 1))
+            compact["compact_rollout_infeasible_frac"] = float(np.mean(st_rc == -3))
+
+        # the top of the compact kernel's VMEM range: m = 256 (state box
+        # over the whole Np=63 horizon)
+        mpc_c2, _ = lmpc.mpc_examples("invpend", 63, 8)
+        mpc_c2.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4),
+                              ub=18 * np.ones(4), ks=range(2, 64))
+        mpc_c2.setup(dtype=engine.dtype)
+        e_c2 = mpc_c2.engine
+        B_c2 = 8192
+        ths_c2 = jnp.asarray(np.hstack([
+            rng.uniform(-8, 8, (B_c2, 4)), rng.uniform(-8, 8, (B_c2, 2)),
+            rng.uniform(-2, 2, (B_c2, 1)),
+        ]), jnp.float64)
+        ths_c2.block_until_ready()
+        sol_c2 = e_c2.solve_batch(ths_c2)
+        sol_c2.U.block_until_ready()
+        best_c2 = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sol_c2 = e_c2.solve_batch(ths_c2)
+            sol_c2.U.block_until_ready()
+            best_c2 = min(best_c2, time.perf_counter() - t0)
+        st_c2 = np.asarray(sol_c2.status)
+        err_c2 = 0.0
+        n_ref2 = 0
+        for i in range(48):
+            U_ref, *_r, s_ref = solve_ldp_numpy(
+                e_c2.ldp, np.asarray(ths_c2[i], np.float64))
+            if s_ref == 1:
+                n_ref2 += 1
+                err_c2 = max(err_c2, float(np.max(np.abs(
+                    np.asarray(sol_c2.U[i], np.float64) - U_ref))))
+        log(f"compact m=256 (pallas={getattr(e_c2, 'use_ciu_pallas', False)}): "
+            f"{B_c2/best_c2:,.0f} solves/s, resolved {np.mean(st_c2 != -1):.4f} "
+            f"(opt {np.mean(st_c2 == 1):.4f} / infeas {np.mean(st_c2 == -3):.4f}), "
+            f"max err {err_c2:.2e} over {n_ref2} oracle-feasible")
+        compact["compact256_solves_per_s"] = round(B_c2 / best_c2, 1)
+        compact["compact256_resolved_frac"] = float(np.mean(st_c2 != -1))
+        compact["compact256_max_control_error"] = err_c2
     except Exception as ex:
         log(f"compact large-m bench skipped: {ex}")
 

@@ -68,10 +68,41 @@ class FrontierState(NamedTuple):
 
 
 def make_xla_relax(arrays: LDPArrays, *, max_iter: int, primal_tol: float,
-                   sign_tol: float) -> Callable:
-    """Node-relaxation solver: vmapped XLA GI inverse-update loop (any
-    backend/dtype; the CPU/f64 differential-test path)."""
+                   sign_tol: float, mode: str = "iu") -> Callable:
+    """Node-relaxation solver: vmapped XLA loop (any backend/dtype; the
+    CPU/f64 differential-test path).
+
+    ``mode="iu"``: the GI inverse-update loop -- fast, with dual-ray
+    infeasibility detection. ``mode="cholesky"``: the ridge-regularized
+    masked-Cholesky loop -- O(m^3) per iteration but the only scheme that
+    converges on massively dual-degenerate problems (invpend_contact's
+    root relaxation carries 170 active rows against rank(G) = 70; the GI
+    scheme cycles or fabricates a dual ray there even with an exact
+    inverse). A converged Cholesky node is feasibility-checked against
+    the full row set before it is trusted (pseudo-solution guard,
+    ``_primal_feasible``); infeasible nodes surface as that check
+    failing, never as a false 'no integer-feasible point'."""
     dtype = arrays.G.dtype
+
+    if mode == "cholesky":
+        from .dual_active_set import _active_set_loop, _primal_feasible
+
+        def relax(du_n, dl_n, eq_lane, lam0, act0, side0):
+            def one(dut, dlt, eql, l0, a0, s0):
+                st = _active_set_loop(
+                    arrays, dut, dlt, eql, arrays.is_immutable,
+                    l0.astype(dtype), a0, s0,
+                    max_iter=max_iter, primal_tol=primal_tol,
+                    sign_tol=sign_tol, use_cholesky=True,
+                )
+                feas = _primal_feasible(arrays, dut, dlt, st.lam,
+                                        st.active, st.side, primal_tol)
+                return (st.lam, st.active, st.side, st.iters,
+                        st.done & feas, st.done & ~feas)
+
+            return jax.vmap(one)(du_n, dl_n, eq_lane, lam0, act0, side0)
+
+        return relax
 
     def relax(du_n, dl_n, eq_lane, lam0, act0, side0):
         st = jax.vmap(

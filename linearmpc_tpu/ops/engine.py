@@ -638,6 +638,119 @@ class SolverEngine:
 
             self._ciu_batched = jax.jit(_ciu_batch)
 
+            if self.use_ciu_pallas:
+                REFINE_CR = 5
+
+                def _fused_rollout_solve_ciu(thetas, lam0, act0, side0, carry):
+                    """Warm-started compact solve for use INSIDE a traced
+                    closed-loop scan: the compact Pallas bulk phase resumes
+                    the previous step's multipliers, working set AND slot
+                    carry (SEL, Rw), then a short f64 Richardson with the
+                    SEL preconditioner recovers e-9-accurate controls.
+                    Returns (U_f32, lam, act, side, iters, status, carry)."""
+                    from .pallas_ciu import phase1_ciu_pallas_while
+
+                    SEL0, Rw0 = carry
+                    B = thetas.shape[0]
+                    th32 = thetas.astype(jnp.float32)
+                    arr = self.arrays
+                    hi = self.arrays_hi
+                    du_t = arr.du + jnp.dot(th32, arr.Dth.T, precision=P_c)
+                    dl_t = arr.dl + jnp.dot(th32, arr.Dth.T, precision=P_c)
+                    eps32 = np.float32(np.finfo(np.float32).eps)
+                    softd = jnp.asarray(
+                        np.asarray(ldp.rho_soft, np.float64) + 4 * eps32,
+                        jnp.float32)
+                    CH = min(self._ciu_pallas_chunk, B)
+                    nc = B // CH
+                    assert nc * CH == B, "batch must be a multiple of the chunk"
+
+                    def one_chunk(args):
+                        du_c, dl_c, l0, a0, s0, SEL_c, Rw_c = args
+                        return phase1_ciu_pallas_while(
+                            arr.G, softd, du_c, dl_c,
+                            arr.is_eq.astype(jnp.float32),
+                            arr.is_immutable.astype(jnp.float32),
+                            l0, a0, s0, SEL_c, Rw_c,
+                            m=m_c, s=s_max, max_iter=bulk_cap_c,
+                            primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+                            interpret=self._ciu_pallas_interpret,
+                            retry_infeas=True,
+                        )
+
+                    resh = lambda a: a.reshape((nc, CH) + a.shape[1:])
+                    chunk_in = tuple(resh(a) for a in (
+                        du_t, dl_t, lam0.astype(jnp.float32),
+                        act0.astype(jnp.float32), side0.astype(jnp.float32),
+                        SEL0, Rw0))
+                    if nc == 1:
+                        out = [o[None] for o in one_chunk(
+                            tuple(a[0] for a in chunk_in))]
+                    else:
+                        out = jax.lax.map(one_chunk, chunk_in)
+                    unsh = lambda a: a.reshape((B,) + a.shape[2:])
+                    lam32, act, side, iters, done, infeas32, ovf, SEL, Rw = (
+                        unsh(o) for o in out)
+                    SEL = SEL.reshape(B, s_max, m_c)
+                    # one Newton-Schulz pass keeps the slot inverse from
+                    # drifting over hundreds of warm steps: Rw <- Rw (2I -
+                    # Mw Rw), Mw the compact masked system of the new SEL
+                    eye_m = jnp.eye(m_c, dtype=jnp.float32)
+                    Gs32 = arr.G_solve + (4.0 * eps32) * eye_m
+                    GS = jnp.einsum("bsm,mn->bsn", SEL, Gs32, precision=P_c)
+                    Mw = jnp.einsum("bsn,btn->bst", GS, SEL, precision=P_c)
+                    occ = jnp.sum(SEL, axis=2)
+                    Mw = Mw + jax.vmap(jnp.diag)(1.0 - occ)
+                    MR = jnp.einsum("bij,bjk->bik", Mw, Rw, precision=P_c)
+                    eye_s = jnp.eye(s_max, dtype=jnp.float32)
+                    Rw = jnp.einsum("bij,bjk->bik", Rw, 2.0 * eye_s - MR,
+                                    precision=P_c)
+
+                    f64 = jnp.float64
+                    th64 = thetas.astype(f64)
+                    du_h = hi.du + th64 @ hi.Dth.T
+                    dl_h = hi.dl + th64 @ hi.Dth.T
+                    actf = act.astype(f64)
+                    actf32 = act.astype(jnp.float32)
+                    d_side = jnp.where(side, du_h, dl_h)
+                    rhs = -actf * d_side
+
+                    def applyR(v):
+                        v32 = v.astype(jnp.float32)
+                        w = jnp.einsum("bsm,bm->bs", SEL, v32, precision=P_c)
+                        y = jnp.einsum("bij,bj->bi", Rw, w, precision=P_c)
+                        full = jnp.einsum("bsm,bs->bm", SEL, y, precision=P_c)
+                        return (full + v32 * (1.0 - actf32)).astype(f64)
+
+                    mask_apply = lambda v: (
+                        actf * ((v * actf) @ hi.G_solve.T) + (1.0 - actf) * v)
+                    lam = applyR(rhs)
+                    for _ in range(REFINE_CR):
+                        lam = lam + applyR(rhs - mask_apply(lam))
+                    U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
+                    sys_res = jnp.max(jnp.abs(mask_apply(lam) - rhs), axis=1)
+                    res_scale = 1.0 + jnp.max(jnp.abs(rhs), axis=1)
+                    status = jnp.where(
+                        infeas32, jnp.int32(-3),
+                        jnp.where(done & ~ovf & (sys_res <= 1e-6 * res_scale),
+                                  jnp.int32(1), jnp.int32(-1)))
+                    # an overflowed lane's slot carry is unusable: reset it
+                    # cold so the next step retries from scratch
+                    ovf_c = ovf[:, None]
+                    lam32 = jnp.where(ovf_c, 0.0, lam32)
+                    act = jnp.where(ovf_c, False, act)
+                    side = jnp.where(ovf_c, True, side)
+                    SEL = jnp.where(ovf[:, None, None], 0.0, SEL)
+                    Rw = jnp.where(ovf[:, None, None], eye_s, Rw)
+                    return (U.astype(jnp.float32), lam32, act, side, iters,
+                            status, (SEL, Rw))
+
+                self.fused_rollout_solve_ciu = _fused_rollout_solve_ciu
+                self.ciu_carry_init = lambda B: (
+                    jnp.zeros((B, s_max, m_c), jnp.float32),
+                    jnp.broadcast_to(jnp.eye(s_max, dtype=jnp.float32),
+                                     (B, s_max, s_max)))
+
         # fused Pallas bulk phase: each solver iteration is ONE gridless
         # kernel over the lane-major batch, looped by lax.scan outside
         # (~45x fewer dispatches than the op-granular XLA path). Default on
@@ -899,9 +1012,17 @@ class SolverEngine:
                         )
                     )
                 else:
+                    # beyond the IU kernel's practical ceiling the GI
+                    # inverse-update node solver cycles / fabricates dual
+                    # rays on massively degenerate relaxations
+                    # (invpend_contact m=250: every lane returned a false
+                    # -2); the masked-Cholesky loop is the scheme that
+                    # converges there
+                    fr_mode = "cholesky" if ldp.m > 64 else "iu"
                     fr_relax = make_xla_relax(
                         self.arrays, max_iter=node_cap,
-                        primal_tol=self.primal_tol, sign_tol=self.sign_tol)
+                        primal_tol=self.primal_tol, sign_tol=self.sign_tol,
+                        mode=fr_mode)
                     self._frontier_batched = jax.jit(
                         lambda arrays, hi, ths: solve_bnb_frontier(
                             arrays, hi, ths, fr_relax, stack_cap=stack_cap,

@@ -42,19 +42,23 @@ LANES = 128
 PREC = jax.lax.Precision.HIGHEST
 
 
-def ciu_max_chunk_lanes(m: int, s: int, vmem_budget_bytes: int = 14 * 2**20) -> int:
+def ciu_max_chunk_lanes(m: int, s: int, vmem_budget_bytes: int = 36 * 2**20) -> int:
     """Largest lane chunk whose kernel working set fits VMEM (0 = disabled).
 
     Budget model (f32): shared movement matrices 2*s*m^2 + 2*s^2*m +
     3*s^3 + m^2; per lane SEL + ~3 live (s*m) temporaries, Rw + update
-    (2 s^2), and ~28 m-sized + ~12 s-sized rows.
-    """
+    (2 s^2), and ~28 m-sized + ~12 s-sized rows. Mosaic's measured stack
+    allocation is ~2.6x this estimate (m=256, s=24, 128 lanes: model
+    30M, actual 79M under the kernel's 100M scoped limit), so the 36M
+    default budget corresponds to ~94M real -- m=256 compiles and runs
+    at 128-lane chunks; the ceiling is near m ~ 272 at s = 24. Chunks
+    are capped at 128 lanes (the only size exercised on hardware)."""
     consts = (2 * s * m * m + 2 * s * s * m + 3 * s**3 + m * m) * 4
     per_lane = (4 * s * m + 3 * s * s + 28 * m + 12 * s) * 4
     lanes = (vmem_budget_bytes - consts) // per_lane
     if lanes < LANES:
         return 0
-    return min(512, (lanes // LANES) * LANES)
+    return min(LANES, (lanes // LANES) * LANES)
 
 
 def make_ciu_consts(m: int, s: int):
@@ -346,7 +350,7 @@ def _build_call(m, s, B, primal_tol, sign_tol, gamma_tol, interpret):
         in_specs=[vm()] * 22,
         out_specs=[vm()] * 9,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100 * 1024 * 1024)),
         interpret=interpret,
     )
 

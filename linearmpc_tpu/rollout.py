@@ -120,15 +120,19 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
     #    plus a short f64 Richardson per step.
     fused_solve = getattr(engine, "fused_rollout_solve", None)
     fused_solve_iu = getattr(engine, "fused_rollout_solve_iu", None)
+    fused_solve_ciu = getattr(engine, "fused_rollout_solve_ciu", None)
     if polish is not None and not polish:
         fused_solve = None
         fused_solve_iu = None
+        fused_solve_ciu = None
 
     def rollout(x0s, rs=None, ds=None, ps=None, N: int = 100):
         B = x0s.shape[0]
         use_fused = fused_solve is not None and B % 128 == 0
         use_fused_iu = (not use_fused and fused_solve_iu is not None
                         and B % 128 == 0)
+        use_fused_ciu = (not use_fused and not use_fused_iu
+                         and fused_solve_ciu is not None and B % 128 == 0)
         x0s = jnp.asarray(x0s, dtype)
 
         # normalize trajectories to (B, N + Np + 1, *) with hold-last padding
@@ -210,6 +214,11 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
                     fused_solve_iu(theta, lam, act, side, Rc))
                 sol_lam, sol_active, sol_side = lam_n, act_n, side_n
                 u = U[:, :nu].astype(dtype) - xhat @ K.T
+            elif use_fused_ciu:
+                U, lam_n, act_n, side_n, iters_n, status_n, Rc_n = (
+                    fused_solve_ciu(theta, lam, act, side, Rc))
+                sol_lam, sol_active, sol_side = lam_n, act_n, side_n
+                u = U[:, :nu].astype(dtype) - xhat @ K.T
             else:
                 sol = jax.vmap(
                     lambda th, l0, a0, s0: solve_single(arrays, th, l0, a0, s0, ldp_hi=arrays_hi, **kw)
@@ -229,8 +238,12 @@ def build_rollout(mpc, *, plant=None, use_observer=None, polish=None):
         xo0 = jnp.zeros((B, nxo), dtype)
         if has_obs:
             xo0 = xo0.at[:, :nx].set(x0s)
-        R0 = (engine.iu_R0_init(B) if use_fused_iu
-              else jnp.zeros((B, 0, 0), jnp.float32))
+        if use_fused_iu:
+            R0 = engine.iu_R0_init(B)
+        elif use_fused_ciu:
+            R0 = engine.ciu_carry_init(B)
+        else:
+            R0 = jnp.zeros((B, 0, 0), jnp.float32)
         carry0 = (
             x0s, xo0, jnp.zeros((B, nu), dtype),
             jnp.zeros((B, m), dtype), jnp.zeros((B, m), dtype=bool),

@@ -2,6 +2,7 @@
 game-theoretic MPC (reference test/runtests.jl:820-880, 1337-1359)."""
 
 import numpy as np
+import pytest
 
 import linearmpc_tpu as lmpc
 from linearmpc_tpu.mpc import MPC
@@ -264,3 +265,28 @@ def test_bnb_warm_start_matches_cold():
         cold_it += int(sc.iters)
     # the point of warm starts: fewer total inner iterations
     assert warm_it < cold_it, (warm_it, cold_it)
+
+
+@pytest.mark.slow
+def test_frontier_solves_contact_scale():
+    """Batched frontier B&B on the full-size colliding pendulum (m=250,
+    40 binaries, massively dual-degenerate relaxations): the Cholesky
+    node solver must find the same optima as the per-lane DFS -- the GI
+    node solver fabricated dual rays here and returned a false -2 for
+    every lane."""
+    import numpy as np
+
+    mpc, _ = lmpc.mpc_examples("invpend_contact")
+    mpc.setup()
+    e = mpc.engine
+    assert e.use_frontier and not getattr(e, "frontier_pallas", False)
+    rng = np.random.default_rng(0)
+    B = 4
+    ths = rng.uniform(-0.3, 0.3, (B, e.ldp.n_theta))
+    sol_f = e.solve_batch(ths)
+    sol_d = e._bnb_batched(e.arrays, e.arrays_hi, np.asarray(ths))
+    st_f = np.asarray(sol_f.status)
+    st_d = np.asarray(sol_d.status)
+    assert np.all(st_d == 1)
+    assert np.all(st_f == 1), st_f
+    assert np.max(np.abs(np.asarray(sol_f.fval) - np.asarray(sol_d.fval))) < 1e-6

@@ -166,3 +166,31 @@ def test_ciu_pallas_engine_path(monkeypatch):
             assert st[i] == 1, i
             assert np.max(np.abs(U[i] - U_ref)) < 1e-8, i
     assert n_ok >= 100
+
+
+def test_ciu_fused_rollout_matches_xla(monkeypatch):
+    """Fused compact rollout (warm SEL/Rw slot carry in the scan) must
+    produce the same closed-loop controls as the solve_single path."""
+    from linearmpc_tpu.rollout import build_rollout
+
+    monkeypatch.setenv("LINEARMPC_TPU_CIUPALLAS", "interpret")
+    mpc = _mpc_m48()
+    e = mpc.engine
+    assert hasattr(e, "fused_rollout_solve_ciu")
+    roll_fused = build_rollout(mpc)
+
+    monkeypatch.setenv("LINEARMPC_TPU_CIUPALLAS", "0")
+    mpc2 = _mpc_m48()
+    assert not getattr(mpc2.engine, "use_ciu_pallas", False)
+    assert not hasattr(mpc2.engine, "fused_rollout_solve_ciu")
+    roll_xla = build_rollout(mpc2)
+
+    rng = np.random.default_rng(5)
+    B, N = 128, 6
+    x0s = rng.uniform(-3, 3, (B, 4))
+    rs = np.zeros((B, 2))
+    rf = roll_fused(x0s, rs, None, N=N)
+    rx = roll_xla(x0s, rs, None, N=N)
+    assert np.mean(np.asarray(rf.status) == 1) > 0.99
+    assert np.max(np.abs(np.asarray(rf.us) - np.asarray(rx.us))) < 1e-5
+    assert np.max(np.abs(np.asarray(rf.xs) - np.asarray(rx.xs))) < 1e-4
