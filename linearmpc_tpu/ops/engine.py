@@ -600,7 +600,14 @@ class SolverEngine:
                     [top_a, jnp.where(jnp.isinf(top_b), jnp.inf, -jnp.inf)])
                 idx = jnp.concatenate([idx_a, idx_b])
                 # f64 straggler re-solve, compact again with doubled
-                # capacity (covers overflow lanes); cold start
+                # capacity (covers overflow lanes); cold start. COLD on
+                # purpose: warm-starting this tier from the f32 bulk
+                # state -- in any variant tried (all lanes warm, or only
+                # non-ray lanes warm) -- dragged the m=128 batch from 41k
+                # to 5.3k solves/s on the chip (the f64 loop pays long
+                # blocking/partial-step cascades re-litigating the f32
+                # set at sign_tol=1e-11, and per-lane warm inits also
+                # defeat XLA's constant-sharing of the cold init).
                 s2 = min(m_c, ((2 * s_max + 7) // 8) * 8)
                 (st_fix, ovf_fix) = jax.vmap(
                     lambda dut, dlt: _active_set_loop_ciu(
@@ -637,6 +644,7 @@ class SolverEngine:
                 )
 
             self._ciu_batched = jax.jit(_ciu_batch)
+            self._ciu_bulk_pallas = _ciu_bulk_pallas  # profiling handle
 
             if self.use_ciu_pallas:
                 REFINE_CR = 5

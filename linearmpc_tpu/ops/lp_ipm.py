@@ -103,6 +103,34 @@ def lp_ipm_batch(A, b, c, x0, *, n_iter: int = 40):
     return x, obj, gap, rd
 
 
+def _pad_lp(A, b, x0, cs=None):
+    """Bucket LP batches to cached jit shapes: rows to the next multiple
+    of 32 (zero rows with rhs 2: never binding, slack 2 from any x), lanes
+    to the next power of two >= 64 (lane 0 repeated). Enumeration calls
+    the oracle once per BFS frontier, each with a different (B, m) --
+    without bucketing, XLA recompiles the IPM for every frontier and the
+    compiles dominate the whole offline analysis (measured: 3.9 s of
+    6.8 s on CPU; worse through the axon remote compiler). Returns the
+    padded arrays and the true B to slice back. Certified-slack callers
+    must use the PADDED row count (padding rows' complementarity products
+    only loosen the bound -- still sound)."""
+    B, m, n = A.shape
+    m_pad = ((m + 31) // 32) * 32
+    B_pad = 64
+    while B_pad < B:
+        B_pad *= 2
+    if m_pad > m:
+        A = np.concatenate([A, np.zeros((B, m_pad - m, n))], axis=1)
+        b = np.concatenate([b, 2.0 * np.ones((B, m_pad - m))], axis=1)
+    if B_pad > B:
+        rep = lambda a: np.concatenate(
+            [a, np.broadcast_to(a[0], (B_pad - B,) + a.shape[1:])], axis=0)
+        A, b, x0 = rep(A), rep(b), rep(x0)
+        if cs is not None and np.ndim(cs) > 1:
+            cs = rep(np.asarray(cs))
+    return A, b, x0, cs, B
+
+
 def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
     """Batched support LP: min c'th over {A th <= b} ∩ [lb, ub].
 
@@ -137,15 +165,16 @@ def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
     A = np.concatenate([As, np.broadcast_to(box_A, (B, 2 * nth, nth))], axis=1)
     b = np.concatenate([bs, np.broadcast_to(box_b, (B, 2 * nth))], axis=1)
 
+    A, b, x0p, cs, B = _pad_lp(A, b, np.asarray(x0, np.float64), cs)
     x, obj, gap, rd = lp_ipm_batch(
         jnp.asarray(A), jnp.asarray(b), jnp.asarray(cs, dtype=jnp.float64),
-        jnp.asarray(x0, dtype=jnp.float64), n_iter=n_iter,
+        jnp.asarray(x0p, dtype=jnp.float64), n_iter=n_iter,
     )
-    m_total = m + 2 * nth
+    m_total = A.shape[1]
     box_mag = np.maximum(np.abs(lb), np.abs(ub))       # (nth,)
-    rd_term = np.abs(np.asarray(rd)) @ box_mag         # (B,)
-    return (np.asarray(obj), m_total * np.asarray(gap) + rd_term,
-            np.asarray(gap))
+    rd_term = (np.abs(np.asarray(rd)) @ box_mag)[:B]   # (B,)
+    return (np.asarray(obj)[:B], m_total * np.asarray(gap)[:B] + rd_term,
+            np.asarray(gap)[:B])
 
 
 def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
@@ -198,12 +227,13 @@ def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
     c = np.zeros(nth + 1)
     c[nth] = -1.0  # maximize r
 
+    A, b, x0, _cs, B = _pad_lp(A, b, x0)
     x, obj, gap, rd = lp_ipm_batch(
         jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), jnp.asarray(x0),
         n_iter=n_iter,
     )
-    x = np.asarray(x)
+    x = np.asarray(x)[:B]
     # fold the dual residual into the reported gap so caller thresholds
     # (route-to-host-LP above ~1e-9) see both convergence failures
-    gap_eff = np.asarray(gap) + np.max(np.abs(np.asarray(rd)), axis=1)
+    gap_eff = (np.asarray(gap) + np.max(np.abs(np.asarray(rd)), axis=1))[:B]
     return x[:, nth], x[:, :nth], gap_eff

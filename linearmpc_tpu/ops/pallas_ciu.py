@@ -19,13 +19,19 @@ Woodbury updates, capacity-overflow detection), expressed in the
 movement-matrix style of pallas_iu (this Mosaic stack compiles only
 gridless kernels with no in-kernel loops; see CLAUDE.md):
 
-  gather   x_w = S_slot @ (SEL * (T_tile_sm @ x))      row -> slot space
-  scatter  y   = S_row  @ (SEL * (T_rep_sm  @ y_w))    slot -> row space
+  gather   x_w = S_slot @ (SEL * tile(x))              row -> slot space
+  scatter  y   = blocksum(SEL * (T_rep_sm  @ y_w))     slot -> row space
   matvec   Rw @ x_w = S_grp_ss @ (Rw * (T_tile_ss @ x_w))
   occupancy occ = S_slot @ SEL
 
-All selection uses first-hit masks; every (1, B) row expands through
-ones-column matmuls at HIGHEST precision.
+where ``tile(x)`` replicates the (m, B) row block s times by SUBLANE
+CONCATENATION and ``blocksum(z)`` sums the s static (m, B) slices of a
+(s*m, B) block -- both pure data movement, replacing what would
+otherwise be the two dominant (s*m, m) @ (m, B) movement matmuls
+(s*m^2*B MACs each and 2*s*m^2 floats of VMEM constants; eliminating
+them cuts per-iteration FLOPs ~4x at m=256 and moves the VMEM ceiling
+from m ~ 272 toward m ~ 448). All selection uses first-hit masks; every
+(1, B) row expands through ones-column matmuls at HIGHEST precision.
 """
 
 from __future__ import annotations
@@ -45,15 +51,16 @@ PREC = jax.lax.Precision.HIGHEST
 def ciu_max_chunk_lanes(m: int, s: int, vmem_budget_bytes: int = 36 * 2**20) -> int:
     """Largest lane chunk whose kernel working set fits VMEM (0 = disabled).
 
-    Budget model (f32): shared movement matrices 2*s*m^2 + 2*s^2*m +
-    3*s^3 + m^2; per lane SEL + ~3 live (s*m) temporaries, Rw + update
-    (2 s^2), and ~28 m-sized + ~12 s-sized rows. Mosaic's measured stack
-    allocation is ~2.6x this estimate (m=256, s=24, 128 lanes: model
-    30M, actual 79M under the kernel's 100M scoped limit), so the 36M
-    default budget corresponds to ~94M real -- m=256 compiles and runs
-    at 128-lane chunks; the ceiling is near m ~ 272 at s = 24. Chunks
-    are capped at 128 lanes (the only size exercised on hardware)."""
-    consts = (2 * s * m * m + 2 * s * s * m + 3 * s**3 + m * m) * 4
+    Budget model (f32): shared movement matrices 2*s^2*m + 3*s^3 + m^2
+    (the s*m^2-sized tiling/grouping matrices are gone -- tile/blocksum
+    are free data movement); per lane SEL + ~3 live (s*m) temporaries,
+    Rw + update (2 s^2), and ~28 m-sized + ~12 s-sized rows. Mosaic's
+    measured stack allocation is ~2.6x this estimate (pre-optimization
+    m=256/s=24/128 lanes: model 30M, actual 79M under the kernel's 100M
+    scoped limit), so the 36M default budget corresponds to ~94M real.
+    The ceiling is near m ~ 448 at s = 24; chunks are capped at 128
+    lanes (the only size exercised on hardware)."""
+    consts = (2 * s * s * m + 3 * s**3 + m * m) * 4
     per_lane = (4 * s * m + 3 * s * s + 28 * m + 12 * s) * 4
     lanes = (vmem_budget_bytes - consts) // per_lane
     if lanes < LANES:
@@ -62,15 +69,13 @@ def ciu_max_chunk_lanes(m: int, s: int, vmem_budget_bytes: int = 36 * 2**20) -> 
 
 
 def make_ciu_consts(m: int, s: int):
-    """0/1 data-movement matrices for slot<->row space (f32)."""
+    """0/1 data-movement matrices for slot<->row space (f32). Row<->slot
+    tiling/grouping over the m axis is pure data movement (sublane concat
+    / static-slice sums) and needs no matrices."""
     k = np.arange(s * m) // m
-    i = np.arange(s * m) % m
-    Tsm_tile = np.zeros((s * m, m), np.float32)
-    Tsm_tile[np.arange(s * m), i] = 1.0
     Tsm_rep = np.zeros((s * m, s), np.float32)
     Tsm_rep[np.arange(s * m), k] = 1.0
     S_slot = Tsm_rep.T.copy()      # (s, s*m): groups k*m+i by k
-    S_row = Tsm_tile.T.copy()      # (m, s*m): groups k*m+i by i
     a = np.arange(s * s) // s
     b = np.arange(s * s) % s
     Tss_tile = np.zeros((s * s, s), np.float32)
@@ -78,7 +83,7 @@ def make_ciu_consts(m: int, s: int):
     Tss_rep = np.zeros((s * s, s), np.float32)
     Tss_rep[np.arange(s * s), a] = 1.0
     S_grp_ss = Tss_rep.T.copy()    # (s, s*s)
-    return Tsm_tile, Tsm_rep, S_slot, S_row, Tss_tile, Tss_rep, S_grp_ss
+    return Tsm_rep, S_slot, Tss_tile, Tss_rep, S_grp_ss
 
 
 def init_compact_batch(G_solve, act0, s_max: int):
@@ -105,10 +110,8 @@ def init_compact_batch(G_solve, act0, s_max: int):
 
 
 def _ciu_iteration_kernel(
-    Tsm_tile_ref,  # (s*m, m)
     Tsm_rep_ref,   # (s*m, s)
     S_slot_ref,    # (s, s*m)
-    S_row_ref,     # (m, s*m)
     Tss_tile_ref,  # (s*s, s)
     Tss_rep_ref,   # (s*s, s)
     S_grp_ss_ref,  # (s, s*s)
@@ -129,10 +132,8 @@ def _ciu_iteration_kernel(
     gamma_tol: float,
 ):
     f32 = jnp.float32
-    Tsm_tile = Tsm_tile_ref[:, :]
     Tsm_rep = Tsm_rep_ref[:, :]
     S_slot = S_slot_ref[:, :]
-    S_row = S_row_ref[:, :]
     Tss_tile = Tss_tile_ref[:, :]
     Tss_rep = Tss_rep_ref[:, :]
     S_grp_ss = S_grp_ss_ref[:, :]
@@ -169,7 +170,16 @@ def _ciu_iteration_kernel(
     exp_m = lambda row: dot(ones_m, row)       # (1, B) -> (m, B)
     exp_s = lambda row: dot(ones_s, row)       # (1, B) -> (s, B)
     rowsum = lambda a: jnp.sum(a, axis=0, keepdims=True)
-    gth = lambda x: dot(S_slot, SEL * dot(Tsm_tile, x))   # row -> slot
+    # row<->slot movement over the m axis is free data movement:
+    tile = lambda x: jnp.concatenate([x] * s, axis=0)     # (m,B)->(s*m,B)
+
+    def blocksum(z):                                      # (s*m,B)->(m,B)
+        acc = z[0:m, :]
+        for kk in range(1, s):
+            acc = acc + z[kk * m:(kk + 1) * m, :]
+        return acc
+
+    gth = lambda x: dot(S_slot, SEL * tile(x))            # row -> slot
     mvw = lambda xw: dot(S_grp_ss, Rw * dot(Tss_tile, xw))  # Rw @ xw
 
     ltri_m = (
@@ -195,7 +205,7 @@ def _ciu_iteration_kernel(
     d_side = side * du + (one - side) * dl
     rhs = -act * d_side
     lam_star_w = mvw(gth(rhs))
-    lam_star = dot(S_row, SEL * dot(Tsm_rep, lam_star_w))
+    lam_star = blocksum(SEL * dot(Tsm_rep, lam_star_w))
 
     pend_abs = jnp.abs(pend)
     pending = rowsum(pend_abs)                 # (1, B) in {0, 1}
@@ -247,7 +257,7 @@ def _ciu_iteration_kernel(
     gamma = exp_m(gjj_sel) - exp_m(rowsum(vj_w * Rvj_w))
     sgn_s = exp_s(sgn_j[0:1, :])
     dvec_w = sgn_s * Rvj_w
-    dvec = dot(S_row, SEL * dot(Tsm_rep, dvec_w))   # row-space direction
+    dvec = blocksum(SEL * dot(Tsm_rep, dvec_w))     # row-space direction
     t_primal = jnp.where(
         gamma > gtol, jnp.maximum(viol_j, zero) / jnp.maximum(gamma, gtol), big
     )
@@ -295,14 +305,14 @@ def _ciu_iteration_kernel(
     slot_ch = is_rem_s * rem_slot + (one - is_rem_s) * free_slot
     changed = (jnp.maximum(hv, ts) * (one - done))[0:1, :]
     changed_sm = dot(ones_sm, changed)
-    delta = dot(Tsm_rep, slot_ch) * dot(Tsm_tile, oh_ch)    # one-hot (slot_ch, ch)
+    delta = dot(Tsm_rep, slot_ch) * tile(oh_ch)     # one-hot (slot_ch, ch)
     sign_sel = one - np.float32(2.0) * dot(ones_sm, is_rem[0:1, :])
     SEL_n = SEL + changed_sm * sign_sel * delta
 
     # -- rank-2 Woodbury update of Rw at slot_ch (gather the changed row's
     #    Gram column through the UPDATED assignment, slot_ch zeroed)
     Gcol_ch = dot(G, oh_ch) + softd * oh_ch
-    vcol_w = dot(S_slot, SEL_n * dot(Tsm_tile, Gcol_ch)) * (one - slot_ch)
+    vcol_w = dot(S_slot, SEL_n * tile(Gcol_ch)) * (one - slot_ch)
     Re = mvw(slot_ch)
     Rv = mvw(vcol_w)
     gjj = exp_s(rowsum(oh_ch * Gcol_ch))
@@ -347,7 +357,7 @@ def _build_call(m, s, B, primal_tol, sign_tol, gamma_tol, interpret):
     ]
     return pl.pallas_call(
         kernel,
-        in_specs=[vm()] * 22,
+        in_specs=[vm()] * 20,
         out_specs=[vm()] * 9,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100 * 1024 * 1024)),
@@ -397,7 +407,7 @@ def phase1_ciu_pallas_while(
     are re-checked from a cold start (see phase1_iu_pallas_while)."""
     B = du_t.shape[0]
     assert B % LANES == 0, "batch must be a multiple of 128"
-    (Tsm_tile, Tsm_rep, S_slot, S_row, Tss_tile, Tss_rep, S_grp_ss,
+    (Tsm_rep, S_slot, Tss_tile, Tss_rep, S_grp_ss,
      Gd, softd_c, du_l, dl_l, eq_c, immut_c,
      lam_l, act_l, side_l, SEL_l, Rw_l) = _prep(
         G, softd, du_t, dl_t, eq, immut, lam0, act0, side0, SEL0, Rw0, m, s)
@@ -414,7 +424,7 @@ def phase1_ciu_pallas_while(
         lam, act, side, pend, done, infeas, ovf, SEL, Rw, iters, it = c
         iters = iters + (1.0 - done[0])
         lam, act, side, pend, done, infeas, ovf, SEL, Rw = call(
-            Tsm_tile, Tsm_rep, S_slot, S_row, Tss_tile, Tss_rep, S_grp_ss,
+            Tsm_rep, S_slot, Tss_tile, Tss_rep, S_grp_ss,
             Gd, softd_c, du_l, dl_l, eq_c, immut_c,
             lam, act, side, pend, done, infeas, ovf, SEL, Rw)
         return (lam, act, side, pend, done, infeas, ovf, SEL, Rw, iters, it + 1)
