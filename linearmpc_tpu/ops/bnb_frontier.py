@@ -283,8 +283,13 @@ def solve_bnb_frontier(
         bt = better[:, None]
         inc_fval = jnp.where(better, fval, s.inc_fval)
         inc_lam = jnp.where(bt, lam, s.inc_lam)
-        inc_active = jnp.where(bt, act, s.inc_active)
-        inc_side = jnp.where(bt, side, s.inc_side)
+        # pin every fixed binary row at its branched bound/side: the f64
+        # polish solves the UNCLAMPED problem, and a clamped row satisfied
+        # with zero multiplier never enters the working set (same fix as
+        # the incremental path; without it the polish drifts off the
+        # branched bound and returns a wrong optimum with status 1)
+        inc_active = jnp.where(bt, act | fixed, s.inc_active)
+        inc_side = jnp.where(bt, jnp.where(fixed, fside, side), s.inc_side)
         inc_found = s.inc_found | better
 
         # branch on jb: push far bound first, near bound last (DFS pops near)
@@ -407,6 +412,7 @@ class IncState(NamedTuple):
     root_side_l: jax.Array  # of the lane (the carried inverse R depends
     root_R_l: jax.Array     # only on the active set, not on bounds)
     root_saved: jax.Array   # (B,)
+    ray_retry: jax.Array    # (B,) bool: current node already cold-retried
     inc_fval: jax.Array     # (B,)
     inc_active: jax.Array   # (B, m) bool
     inc_side: jax.Array     # (B, m) bool
@@ -496,7 +502,13 @@ def solve_bnb_frontier_inc(
         side = side_l.T > 0.5
         conv = s.active_node & done & ~infeas
         nfail_exh = s.active_node & ~done & (node_iter >= node_cap)
-        nfail = (s.active_node & done & infeas) | nfail_exh
+        # a dual-ray verdict reached from WARM carried state (root
+        # snapshot + chained rank-2 updates) is not trusted: the node is
+        # re-solved once from a genuinely cold start (empty set, identity
+        # R); only a ray found on the retry prunes the node
+        ray = s.active_node & done & infeas
+        retry = ray & ~s.ray_retry
+        nfail = (ray & s.ray_retry) | nfail_exh
 
         U = U0 - jnp.dot(lam.astype(dtype), arrays.HinvET.T, precision=P)
         fval = (0.5 * jnp.einsum("bi,ij,bj->b", U, arrays.H, U, precision=P)
@@ -591,7 +603,8 @@ def solve_bnb_frontier_inc(
         finished = (conv & (pruned_conv | integral)) | nfail | prune_mid
         active_node = s.active_node & ~finished
         exhausted = s.exhausted | nfail_exh
-        node_iter = jnp.where(branch | finished, 0, node_iter)
+        node_iter = jnp.where(branch | finished | retry, 0, node_iter)
+        ray_retry = jnp.where(branch | finished, False, s.ray_retry | retry)
 
         # ---- backtrack pops for idle lanes (root-warm solver reset)
         top = prune_tops(top, inc_found, inc_fval, stack_bound)
@@ -635,13 +648,26 @@ def solve_bnb_frontier_inc(
         done_l = jnp.where((cpl | idle[None, :]),
                            jnp.where(cpl, 0.0, 1.0), done_l)
 
+        # ray-retry lanes restart the SAME node from a genuinely cold
+        # state (not the root snapshot, whose carried R may hold the very
+        # drift that fabricated the ray)
+        rty = retry[None, :]
+        rtf = rty.astype(jnp.float32)
+        lam_l = lam_l * (1.0 - rtf)
+        act_l = act_l * (1.0 - rtf)
+        side_l = jnp.where(rty, 1.0, side_l)
+        pend_l = pend_l * (1.0 - rtf)
+        infeas_l = infeas_l * (1.0 - rtf)
+        done_l = done_l * (1.0 - rtf)
+        R_l = jnp.where(jnp.broadcast_to(rty, R_l.shape), eye_flat, R_l)
+
         return IncState(
             stack_fixed, stack_side, stack_bound, top,
             cur_fixed, cur_fside, active_node, node_iter,
             du_l, dl_l, eq_l,
             lam_l, act_l, side_l, pend_l, done_l, infeas_l, R_l,
             root_lam_l, root_act_l, root_side_l, root_R_l, root_saved,
-            inc_fval, inc_active, inc_side, inc_found,
+            ray_retry, inc_fval, inc_active, inc_side, inc_found,
             nodes, iters, exhausted,
         )
 
@@ -673,6 +699,7 @@ def solve_bnb_frontier_inc(
         root_side_l=jnp.ones((m, B), f32),
         root_R_l=jnp.broadcast_to(eye_flat, (m * m, B)),
         root_saved=jnp.zeros(B, bool),
+        ray_retry=jnp.zeros(B, bool),
         inc_fval=jnp.full(B, big, dtype),
         inc_active=jnp.zeros((B, m), bool),
         inc_side=jnp.zeros((B, m), bool),
@@ -702,6 +729,8 @@ def solve_bnb_frontier_inc(
         )(thetas, final.inc_active, final.inc_side)
     found = final.inc_found
     fm = found[:, None]
+    # a found incumbent whose polish residual stalled is not optimal
+    status = jnp.where(found & (sol.status != 1), jnp.int32(-1), status)
     return Solution(
         jnp.where(fm, sol.U, jnp.zeros((B, n), sol.U.dtype)),
         jnp.where(fm, sol.lam, jnp.zeros((B, m), sol.lam.dtype)),
@@ -713,7 +742,10 @@ def solve_bnb_frontier_inc(
 
 def _refined_polish(arrays: LDPArrays, hi: LDPArrays, thetas, act, side,
                     refine: int = 12) -> Solution:
-    """Batched active-set re-solve: f32 masked inverse + f64 Richardson."""
+    """Batched active-set re-solve: f32 masked inverse + f64 Richardson.
+    Status gates on the relative working-set residual -- a stalled
+    Richardson (ill-conditioned incumbent set) must not be reported as
+    optimal (mirrors the engine's fused-rollout convention)."""
     from .pallas_iu import init_R_batch
 
     f64 = jnp.float64
@@ -733,6 +765,9 @@ def _refined_polish(arrays: LDPArrays, hi: LDPArrays, thetas, act, side,
     U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
     f_t = hi.f + th64 @ hi.f_theta.T
     fval = 0.5 * jnp.einsum("bi,ij,bj->b", U, hi.H, U) + jnp.sum(f_t * U, axis=1)
+    sys_res = jnp.max(jnp.abs(mask_apply(lam) - rhs), axis=1)
+    res_scale = 1.0 + jnp.max(jnp.abs(rhs), axis=1)
+    status = jnp.where(sys_res <= 1e-6 * res_scale,
+                       jnp.int32(1), jnp.int32(-1))
     B = thetas.shape[0]
-    return Solution(U, lam, act, side, fval,
-                    jnp.zeros(B, jnp.int32), jnp.ones(B, jnp.int32))
+    return Solution(U, lam, act, side, fval, jnp.zeros(B, jnp.int32), status)

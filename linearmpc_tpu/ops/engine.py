@@ -434,6 +434,11 @@ class SolverEngine:
             m_c = ldp.m
             smax_env = _os_c.environ.get("LINEARMPC_TPU_CIU_SMAX", "")
             s_max = int(smax_env) if smax_env else min(m_c, max(16, ldp.n + 16))
+            # equality rows are permanently active: a capacity below their
+            # count would make EVERY lane's initial slot carry silently
+            # truncated (the kernel init has no overflow guard)
+            n_eq_c = int(np.asarray(ldp.is_eq).sum())
+            s_max = max(s_max, min(m_c, n_eq_c + 8))
             s_max = min(m_c, ((s_max + 7) // 8) * 8)
             self.ciu_s_max = s_max
             self.use_ciu_batch = True
@@ -1049,6 +1054,12 @@ class SolverEngine:
         ``force``); smaller problems keep the single-chip kernels and can
         still be dp-sharded by the caller. Returns self."""
         self._mp_solver = None
+        if self.has_binaries:
+            # the mp-Schur solver solves the CONTINUOUS relaxation; routing
+            # a hybrid engine through it would silently drop the binaries
+            raise ValueError(
+                "attach_mesh does not support hybrid (binary-constrained) "
+                "problems: the mp-Schur solver has no branch-and-bound")
         if force or self.ldp.m > mp_threshold:
             from ..parallel.schur import make_mp_batch_solver
 

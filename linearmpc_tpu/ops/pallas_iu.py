@@ -411,7 +411,13 @@ def make_iu_stepper(G, softd, immut, *, m, K, chunk,
 
     def step(du_l, dl_l, eq_l, state):
         B = du_l.shape[1]
+        # largest 128-multiple chunk that DIVIDES B (a batch of e.g. 640
+        # lanes with chunk 512 must fall back to 128-lane chunks, not
+        # trip the divisibility assert below)
         CH = min(chunk, B)
+        CH -= CH % LANES
+        while CH > LANES and B % CH:
+            CH -= LANES
         call = _build_call(m, CH, primal_tol, sign_tol, gamma_tol, interpret)
 
         def k_iters(du_c, dl_c, eq_c, st):

@@ -164,7 +164,8 @@ def plot_explicit_feedback(empc, parameters=(0, 1), control=0, *, fix=None):
     ax.set_zlabel(f"u_{control}")
     ax.set_xlim(lb[0], ub[0])
     ax.set_ylim(lb[1], ub[1])
-    ax.set_zlim(zmin, zmax)
+    if facets:  # an empty slice would set_zlim(inf, -inf) and raise
+        ax.set_zlim(zmin, zmax)
     ax.set_title(f"PWA feedback over {len(facets)} regions")
     fig.tight_layout()
     return fig

@@ -290,3 +290,40 @@ def test_frontier_solves_contact_scale():
     assert np.all(st_d == 1)
     assert np.all(st_f == 1), st_f
     assert np.max(np.abs(np.asarray(sol_f.fval) - np.asarray(sol_d.fval))) < 1e-6
+
+
+def test_frontier_cold_nodes_matches_enumeration():
+    """Regression (code review r3): solve_bnb_frontier with
+    warm_nodes=False recorded incumbents WITHOUT pinning the fixed binary
+    rows at their branched bound -- the f64 polish then solved the
+    unclamped problem and returned a wrong optimum with status 1 (4 of 8
+    lanes wrong on this instance)."""
+    from linearmpc_tpu.ops.bnb_frontier import make_xla_relax, solve_bnb_frontier
+
+    mpc = MPC.from_discrete([[1.0, 0.1], [0, 1.0]], [[0.0], [1.0]], Np=4, Nc=4)
+    mpc.set_objective(Q=[1.0, 1.0], R=[0.1], Rr=[0.0])
+    mpc.set_bounds(umin=[0.0], umax=[1.0])
+    mpc.set_binary_controls([0])
+    mpc.settings.reference_tracking = False
+    mpc.setup()
+    e = mpc.engine
+
+    relax = make_xla_relax(e.arrays, max_iter=100,
+                           primal_tol=e.primal_tol, sign_tol=e.sign_tol)
+    rng = np.random.default_rng(5)
+    ths = rng.uniform(-1.0, 1.0, (8, e.ldp.n_theta))
+    import jax
+
+    sol = jax.jit(lambda t: solve_bnb_frontier(
+        e.arrays, e.arrays_hi, t, relax, warm_nodes=False))(ths)
+    qp = mpc.mpQP
+    for i in range(ths.shape[0]):
+        assert int(sol.status[i]) == 1
+        f_t = qp.f + qp.f_theta @ ths[i]
+        best = (np.inf, None)
+        for bits in range(16):
+            U = np.array([(bits >> k) & 1 for k in range(4)], dtype=float)
+            val = 0.5 * U @ qp.H @ U + f_t @ U
+            if val < best[0]:
+                best = (val, U)
+        assert np.allclose(np.asarray(sol.U[i]), best[1], atol=1e-6), i
