@@ -327,3 +327,29 @@ def test_frontier_cold_nodes_matches_enumeration():
             if val < best[0]:
                 best = (val, U)
         assert np.allclose(np.asarray(sol.U[i]), best[1], atol=1e-6), i
+
+
+def test_frontier_chunked_batch_sizes(monkeypatch):
+    """Regression (code review r3): a batch that is a multiple of 128 but
+    NOT of the stepper's VMEM lane chunk (here chunk > B after padding,
+    e.g. B=640 against chunk 512) tripped an AssertionError at trace
+    time; the stepper must fall back to a 128-multiple chunk dividing B."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("LINEARMPC_TPU_IUPALLAS", "interpret")
+    mpc = MPC.from_discrete([[1.0, 0.1], [0, 1.0]], [[0.0], [1.0]], Np=4, Nc=4)
+    mpc.set_objective(Q=[1.0, 1.0], R=[0.1], Rr=[0.0])
+    mpc.set_bounds(umin=[0.0], umax=[1.0])
+    mpc.set_binary_controls([0])
+    mpc.settings.reference_tracking = False
+    mpc.setup(dtype=jnp.float32)
+    e = mpc.engine
+    assert getattr(e, "frontier_pallas", False)
+    from linearmpc_tpu.ops.pallas_iu import iu_max_chunk_lanes
+    assert iu_max_chunk_lanes(e.ldp.m, 20 * 2**20) > 128  # the trigger
+
+    rng = np.random.default_rng(7)
+    B = 640  # pads to 640 (already a 128-multiple), chunk would be 512
+    ths = rng.uniform(-1.0, 1.0, (B, e.ldp.n_theta))
+    sol = e.solve_batch(ths)
+    assert np.mean(np.asarray(sol.status) == 1) > 0.99
