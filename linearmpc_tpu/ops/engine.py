@@ -463,6 +463,14 @@ class SolverEngine:
                 and (jax.default_backend() != "cpu" or self._ciu_pallas_interpret)
             )
 
+            # the Pallas bulk runs lockstep per 128-lane chunk, so one
+            # straggler drags its whole chunk to the iteration cap
+            # (measured m=256: p50 11 / p99 22 / max 299). Cap the kernel
+            # phase low and let the f64 tier finish the <0.5% of lanes
+            # beyond it -- they are selected by their KKT residual anyway
+            bulk_cap_p = min(bulk_cap_c, int(_os_c.environ.get(
+                "LINEARMPC_TPU_CIU_CAP", "72")))
+
             def _ciu_bulk_pallas(arr, du_t, dl_t):
                 """Cold Pallas compact bulk over VMEM-bounded lane chunks.
                 Returns (lam, act, side, iters, infeas, ovf, SEL (B,s,m))."""
@@ -501,7 +509,7 @@ class SolverEngine:
                         jnp.zeros((CH, m_c), jnp.float32),
                         a0.astype(jnp.float32), jnp.ones((CH, m_c), jnp.float32),
                         SEL0, Rw0,
-                        m=m_c, s=s_max, max_iter=bulk_cap_c,
+                        m=m_c, s=s_max, max_iter=bulk_cap_p,
                         primal_tol=self.primal_tol, sign_tol=self.sign_tol,
                         interpret=self._ciu_pallas_interpret, retry_infeas=False,
                     )
@@ -595,7 +603,9 @@ class SolverEngine:
                 # capacity-overflow lanes must go through the f64 tier
                 bad = jnp.where(ovf, jnp.inf, bad)
 
-                k_a = min(max(128, B // 64), B)
+                # the capped Pallas bulk (bulk_cap_p) intentionally leaves
+                # its iteration tail to this tier; size pool A for it
+                k_a = min(max(256, B // 32), B)
                 k_b = min(max(128, B // 64), B)
                 bad_a = jnp.where(infeas32, -jnp.inf, bad)
                 bad_b = jnp.where(infeas32, jnp.inf, -jnp.inf)
