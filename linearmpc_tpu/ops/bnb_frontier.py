@@ -97,8 +97,17 @@ def make_xla_relax(arrays: LDPArrays, *, max_iter: int, primal_tol: float,
                 )
                 feas = _primal_feasible(arrays, dut, dlt, st.lam,
                                         st.active, st.side, primal_tol)
+                # a failed full-row residual check is routed to the
+                # UNCONVERGED path (exhausted, like iteration-cap
+                # exhaustion), never the infeasibility prune: on a
+                # degenerate set the ridge residual of a feasible node can
+                # spuriously exceed the threshold, and pruning it could
+                # certify a suboptimal incumbent (ADVICE r3 #1). Genuinely
+                # infeasible nodes land here too -- they still prune (an
+                # unconverged node is never expanded) but mark the lane's
+                # certificate incomplete instead of claiming -2.
                 return (st.lam, st.active, st.side, st.iters,
-                        st.done & feas, st.done & ~feas)
+                        st.done & feas, jnp.zeros_like(feas))
 
             return jax.vmap(one)(du_n, dl_n, eq_lane, lam0, act0, side0)
 

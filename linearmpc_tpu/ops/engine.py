@@ -170,7 +170,10 @@ class SolverEngine:
 
                 def resh(a):
                     if pad:
-                        a = jnp.concatenate([a, a[:pad]])
+                        # repeat lane 0: correct for ANY pad (a[:pad] is
+                        # silently short when pad > B; ADVICE r3 #2)
+                        a = jnp.concatenate(
+                            [a, jnp.repeat(a[:1], pad, axis=0)])
                     return a.reshape((nc, CH) + a.shape[1:])
 
                 carried_R = R0c is not None
@@ -489,7 +492,10 @@ class SolverEngine:
 
                 def resh(a):
                     if pad:
-                        a = jnp.concatenate([a, a[:pad]])
+                        # repeat lane 0: correct for ANY pad (a[:pad] is
+                        # silently short when pad > B; ADVICE r3 #2)
+                        a = jnp.concatenate(
+                            [a, jnp.repeat(a[:1], pad, axis=0)])
                     return a.reshape((nc, CH) + a.shape[1:])
 
                 def one_chunk(args):

@@ -411,6 +411,10 @@ def make_iu_stepper(G, softd, immut, *, m, K, chunk,
 
     def step(du_l, dl_l, eq_l, state):
         B = du_l.shape[1]
+        # callers must pre-pad: B < 128 would give CH = 0 below and trace
+        # a zero-lane kernel (ADVICE r3 #3)
+        assert B % LANES == 0, (
+            f"stepper batch must be a multiple of {LANES} lanes, got {B}")
         # largest 128-multiple chunk that DIVIDES B (a batch of e.g. 640
         # lanes with chunk 512 must fall back to 128-lane chunks, not
         # trip the divisibility assert below)
