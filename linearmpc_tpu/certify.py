@@ -170,88 +170,115 @@ def certify(mpc, *, prange=None, AS0=(), iter_limit: int = 60,
                 results[i] = (r > region_tol, c)
         return results
 
+    # WAVE-BATCHED exploration (VERDICT r3 #4): states are expanded in
+    # waves of up to ``wave_size``; each wave makes TWO batched oracle
+    # calls (phase A: every state's removal cells + its dual-feasible
+    # subregion; phase B: every surviving state's addition cells +
+    # termination cell) instead of two calls PER STATE. Exploration
+    # content is identical to the per-state loop -- only the order
+    # of expansion differs, which the reachable-set semantics do not
+    # depend on.
+    wave_size = 256
     while stack:
         if len(partition) >= max_regions:
             exhausted = True
             break
-        AS, k, Ath, bth, hint = stack.pop()
-        if k >= iter_limit:
-            exhausted = True
-            max_iter_seen = max(max_iter_seen, k)
-            continue
-        Flam, glam, ok = lam_affine(AS)
-        if not ok:
-            continue  # degenerate working set: unreachable in exact arithmetic
-        ASl = list(AS)
-
-        # feedback for this AS: U(theta) = F th + g
-        if len(ASl):
-            F = U0F - Hinv @ qp.A[ASl].T @ Flam
-            g = U0g - Hinv @ qp.A[ASl].T @ glam
-        else:
-            F, g = U0F, U0g
-
-        # 1) removal branches: lambda_i < 0 for some removable i
-        rem_cands, rem_meta = [], []
-        for pos, i in enumerate(ASl):
-            if always[i]:
+        wave = []
+        while stack and len(wave) < wave_size:
+            AS, k, Ath, bth, hint = stack.pop()
+            if k >= iter_limit:
+                exhausted = True
+                max_iter_seen = max(max_iter_seen, k)
                 continue
-            rows = np.vstack([Ath, Flam[pos][None, :]])
-            rhs = np.concatenate([bth, [-glam[pos]]])  # Flam th + glam < 0
-            rem_cands.append((rows, rhs, hint))
-            rem_meta.append((i, rows, rhs))
-        for (ne, pt), (i, rows, rhs) in zip(nonempty_batch(rem_cands), rem_meta):
-            if ne:
-                stack.append((tuple(sorted(set(ASl) - {i})), k + 1, rows, rhs, pt))
-
-        # dual-feasible subregion: all removable lambda_i >= 0
-        rows_df = [Ath]
-        rhs_df = [bth]
-        for pos, i in enumerate(ASl):
-            if always[i]:
-                continue
-            rows_df.append(-Flam[pos][None, :])
-            rhs_df.append([glam[pos]])
-        Ath_df = np.vstack(rows_df)
-        bth_df = np.concatenate([np.atleast_1d(r) for r in rhs_df])
-        ne, center = nonempty(Ath_df, bth_df, hint)
-        if not ne:
+            Flam, glam, ok = lam_affine(AS)
+            if not ok:
+                continue  # degenerate working set: unreachable exactly
+            wave.append([AS, k, Ath, bth, hint, Flam, glam])
+        if not wave:
             continue
 
-        # slacks of inactive rows under this AS: s_j(theta) = Sf_j th + sg_j
-        inact = [j for j in range(m) if j not in AS and not ignore[j]]
-        Sf = qp.W[inact] - qp.A[inact] @ F
-        sg = qp.b[inact] - qp.A[inact] @ g
+        # ---- phase A: removal cells + dual-feasible subregion per state
+        cands_a, meta_a = [], []
+        df_rows = [None] * len(wave)
+        for si, (AS, k, Ath, bth, hint, Flam, glam) in enumerate(wave):
+            ASl = list(AS)
+            for pos, i in enumerate(ASl):
+                if always[i]:
+                    continue
+                rows = np.vstack([Ath, Flam[pos][None, :]])
+                rhs = np.concatenate([bth, [-glam[pos]]])  # Flam th + glam < 0
+                cands_a.append((rows, rhs, hint))
+                meta_a.append((si, i, rows, rhs))
+            rows_df = [Ath]
+            rhs_df = [bth]
+            for pos, i in enumerate(ASl):
+                if always[i]:
+                    continue
+                rows_df.append(-Flam[pos][None, :])
+                rhs_df.append([glam[pos]])
+            Ath_df = np.vstack(rows_df)
+            bth_df = np.concatenate([np.atleast_1d(r) for r in rhs_df])
+            df_rows[si] = (Ath_df, bth_df)
+            cands_a.append((Ath_df, bth_df, hint))
+            meta_a.append((si, None, None, None))
 
-        # 2) addition branches: the solver adds the most violated row ->
-        #    disjoint argmax cells {v_j > tol, v_j >= v_k for all k != j};
-        #    3) termination subregion: all slacks >= 0. One batched oracle
-        #    call covers every addition cell plus the termination cell.
-        add_cands, add_meta = [], []
-        if len(AS) < n:
-            for jj, j in enumerate(inact):
-                rows = [Ath_df, Sf[jj][None, :]]        # slack_j < 0
-                rhs = [bth_df, [-sg[jj]]]
-                for kk in range(len(inact)):            # v_j >= v_k: s_k >= s_j
-                    if kk == jj:
-                        continue
-                    rows.append((Sf[jj] - Sf[kk])[None, :])
-                    rhs.append([sg[kk] - sg[jj]])
-                rows = np.vstack(rows)
-                rhs = np.concatenate([np.atleast_1d(r) for r in rhs])
-                add_cands.append((rows, rhs, center))
-                add_meta.append((j, rows, rhs))
-        rows_t = np.vstack([Ath_df, -Sf]) if len(inact) else Ath_df
-        rhs_t = np.concatenate([bth_df, sg]) if len(inact) else bth_df
-        add_cands.append((rows_t, rhs_t, center))
+        verdicts_a = nonempty_batch(cands_a)
+        df_center = [None] * len(wave)
+        for (ne, pt), (si, i, rows, rhs) in zip(verdicts_a, meta_a):
+            AS, k = wave[si][0], wave[si][1]
+            if i is not None:
+                if ne:
+                    stack.append((tuple(sorted(set(AS) - {i})), k + 1,
+                                  rows, rhs, pt))
+            elif ne:
+                df_center[si] = pt
 
-        verdicts = nonempty_batch(add_cands)
-        for (ne, pt), (j, rows, rhs) in zip(verdicts[:-1], add_meta):
-            if ne:
-                stack.append((tuple(sorted(set(ASl) | {j})), k + 1, rows, rhs, pt))
-        ne, center = verdicts[-1]
-        if ne:
-            partition.append(CertRegion(rows_t, rhs_t, tuple(ASl), k + 1, center))
-            max_iter_seen = max(max_iter_seen, k + 1)
+        # ---- phase B: addition cells + termination cell for states whose
+        # dual-feasible subregion is nonempty
+        cands_b, meta_b = [], []
+        for si, (AS, k, _Ath, _bth, _hint, Flam, glam) in enumerate(wave):
+            center = df_center[si]
+            if center is None:
+                continue
+            ASl = list(AS)
+            if len(ASl):
+                F = U0F - Hinv @ qp.A[ASl].T @ Flam
+                g = U0g - Hinv @ qp.A[ASl].T @ glam
+            else:
+                F, g = U0F, U0g
+            Ath_df, bth_df = df_rows[si]
+            # slacks of inactive rows: s_j(theta) = Sf_j th + sg_j
+            inact = [j for j in range(m) if j not in AS and not ignore[j]]
+            Sf = qp.W[inact] - qp.A[inact] @ F
+            sg = qp.b[inact] - qp.A[inact] @ g
+            if len(AS) < n:
+                for jj, j in enumerate(inact):
+                    rows = [Ath_df, Sf[jj][None, :]]     # slack_j < 0
+                    rhs = [bth_df, [-sg[jj]]]
+                    for kk in range(len(inact)):         # v_j >= v_k
+                        if kk == jj:
+                            continue
+                        rows.append((Sf[jj] - Sf[kk])[None, :])
+                        rhs.append([sg[kk] - sg[jj]])
+                    rows = np.vstack(rows)
+                    rhs = np.concatenate([np.atleast_1d(r) for r in rhs])
+                    cands_b.append((rows, rhs, center))
+                    meta_b.append((si, j, rows, rhs))
+            rows_t = np.vstack([Ath_df, -Sf]) if len(inact) else Ath_df
+            rhs_t = np.concatenate([bth_df, sg]) if len(inact) else bth_df
+            cands_b.append((rows_t, rhs_t, center))
+            meta_b.append((si, None, rows_t, rhs_t))
+
+        for (ne, pt), (si, j, rows, rhs) in zip(nonempty_batch(cands_b),
+                                                meta_b):
+            if not ne:
+                continue
+            AS, k = wave[si][0], wave[si][1]
+            if j is not None:
+                stack.append((tuple(sorted(set(AS) | {j})), k + 1,
+                              rows, rhs, pt))
+            elif len(partition) < max_regions:
+                partition.append(CertRegion(rows, rhs, tuple(AS), k + 1, pt))
+                max_iter_seen = max(max_iter_seen, k + 1)
 
     return CertificationResult(mpc, max_iter_seen, partition, exhausted)

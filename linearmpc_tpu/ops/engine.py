@@ -436,13 +436,44 @@ class SolverEngine:
 
             m_c = ldp.m
             smax_env = _os_c.environ.get("LINEARMPC_TPU_CIU_SMAX", "")
-            s_max = int(smax_env) if smax_env else min(m_c, max(16, ldp.n + 16))
+            # n + 8 slots (was n + 16): the optimum's working set is at
+            # most n rows generically; transient overshoot beyond +8 is
+            # rare and lands in the second-chance pass at doubled
+            # capacity. Measured at m=256/B=8192: s 24 -> 16 cuts the
+            # bulk phase 184 -> 130 ms while the capped fraction moves
+            # only 0.38% -> 0.43% (BENCH_r04 probe)
+            s_max = int(smax_env) if smax_env else min(m_c, max(16, ldp.n + 8))
             # equality rows are permanently active: a capacity below their
             # count would make EVERY lane's initial slot carry silently
             # truncated (the kernel init has no overflow guard)
             n_eq_c = int(np.asarray(ldp.is_eq).sum())
             s_max = max(s_max, min(m_c, n_eq_c + 8))
             s_max = min(m_c, ((s_max + 7) // 8) * 8)
+            # VMEM-fit shrink (VERDICT r3 #6): past m ~ 448 the default
+            # capacity no longer fits the kernel's lane chunk; prefer a
+            # LIVE Pallas path with fewer slots (the second-chance pass
+            # and the f64 guard absorb the rare larger working sets) over
+            # the order-of-magnitude-slower XLA compact loop. Bounded at
+            # half the heuristic (and >= 16, >= n_eq + 8): a problem whose
+            # generic active set genuinely needs the capacity keeps the
+            # XLA loop instead of drowning in overflows. Lifts the
+            # single-chip Pallas ceiling from m ~ 448 to m ~ 700.
+            from .pallas_ciu import ciu_max_chunk_lanes as _ciu_lanes
+            _pallas_eligible = (
+                _os_c.environ.get("LINEARMPC_TPU_CIUPALLAS", "1") != "0"
+                and self.dtype == jnp.float32
+                and (jax.default_backend() != "cpu"
+                     or _os_c.environ.get("LINEARMPC_TPU_CIUPALLAS") == "interpret")
+            )
+            if (not smax_env and _pallas_eligible
+                    and _ciu_lanes(m_c, s_max) < 128):
+                floor = min(m_c, max(16, ((n_eq_c + 8 + 7) // 8) * 8,
+                                     ((s_max // 2 + 7) // 8) * 8))
+                cand_s = s_max
+                while cand_s - 8 >= floor and _ciu_lanes(m_c, cand_s) < 128:
+                    cand_s -= 8
+                if _ciu_lanes(m_c, cand_s) >= 128:
+                    s_max = cand_s
             self.ciu_s_max = s_max
             self.use_ciu_batch = True
             REFINE_C = 6
@@ -459,6 +490,22 @@ class SolverEngine:
             _ciup_env = _os_c.environ.get("LINEARMPC_TPU_CIUPALLAS", "1")
             self._ciu_pallas_interpret = _ciup_env == "interpret"
             self._ciu_pallas_chunk = ciu_max_chunk_lanes(m_c, s_max)
+            # 256-lane chunks when the (empirically validated) wider-chunk
+            # budget admits them: with the low adaptive bulk cap the tail
+            # variance a wide chunk adds is bounded, and halving the
+            # number of kernel dispatches is a measured win (m=256:
+            # 107 -> 74 ms with cap 26). The 46M model budget corresponds
+            # to the ~100M scoped-VMEM ceiling at the observed stack
+            # factor of the s=16 kernel
+            if (self._ciu_pallas_chunk >= 128
+                    and ciu_max_chunk_lanes(m_c, s_max, 46 * 2**20,
+                                            max_lanes=256) >= 256):
+                self._ciu_pallas_chunk = 256
+            _chunk_env = _os_c.environ.get("LINEARMPC_TPU_CIU_CHUNK", "")
+            if _chunk_env:
+                self._ciu_pallas_chunk = int(_chunk_env)
+            # kernel calls per while-loop cond check in the cold bulk
+            self._ciu_k = int(_os_c.environ.get("LINEARMPC_TPU_CIU_KSTEP", "1"))
             self.use_ciu_pallas = (
                 _ciup_env != "0"
                 and self.dtype == jnp.float32
@@ -466,13 +513,33 @@ class SolverEngine:
                 and (jax.default_backend() != "cpu" or self._ciu_pallas_interpret)
             )
 
-            # the Pallas bulk runs lockstep per 128-lane chunk, so one
+            # second-chance slot capacity (VERDICT r3 #1): the worst lanes
+            # of the capped cold bulk -- iteration tail and capacity
+            # overflow -- are warm-resumed through a SECOND Pallas pass at
+            # the largest slot capacity s2 in (s_max, 2*s_max] that still
+            # fits VMEM, so the f64 XLA slot loop shrinks from the
+            # dominant tier to a ~64-lane guard
+            self._ciu_s2 = None
+            self._ciu_s2_chunk = 0
+            if (self.use_ciu_pallas
+                    and _os_c.environ.get("LINEARMPC_TPU_CIU_SECOND", "1") != "0"):
+                cand = min(m_c, ((2 * s_max + 7) // 8) * 8)
+                while cand > s_max and ciu_max_chunk_lanes(m_c, cand) < 128:
+                    cand -= 8
+                self._ciu_s2 = cand
+                self._ciu_s2_chunk = ciu_max_chunk_lanes(m_c, cand)
+
+            # the Pallas bulk runs lockstep per lane chunk, so one
             # straggler drags its whole chunk to the iteration cap
-            # (measured m=256: p50 11 / p99 22 / max 299). Cap the kernel
-            # phase low and let the f64 tier finish the <0.5% of lanes
-            # beyond it -- they are selected by their KKT residual anyway
-            bulk_cap_p = min(bulk_cap_c, int(_os_c.environ.get(
-                "LINEARMPC_TPU_CIU_CAP", "72")))
+            # (measured m=256: p50 11 / p99 17 / max 299). Cap the kernel
+            # phase just above the generic working-set depth (~2n) and
+            # let the second-chance pass + f64 guard finish the <1% of
+            # lanes beyond it -- they are selected by their KKT residual
+            # anyway. Measured m=256/B=8192: cap 72 -> 26 cuts the bulk
+            # 184 -> 107 ms at +0.2% capped lanes
+            _cap_env = _os_c.environ.get("LINEARMPC_TPU_CIU_CAP", "")
+            bulk_cap_p = min(bulk_cap_c, int(_cap_env) if _cap_env
+                             else max(26, 2 * ldp.n + 10))
 
             def _ciu_bulk_pallas(arr, du_t, dl_t):
                 """Cold Pallas compact bulk over VMEM-bounded lane chunks.
@@ -518,6 +585,7 @@ class SolverEngine:
                         m=m_c, s=s_max, max_iter=bulk_cap_p,
                         primal_tol=self.primal_tol, sign_tol=self.sign_tol,
                         interpret=self._ciu_pallas_interpret, retry_infeas=False,
+                        steps_per_check=self._ciu_k,
                     )
                     lam, act, side, iters, done, infeas, ovf, SEL, Rw = out
                     return (lam, act, side, iters, infeas, ovf,
@@ -560,21 +628,63 @@ class SolverEngine:
                 th64 = thetas.astype(f64)
                 du_h = hi.du + th64 @ hi.Dth.T
                 dl_h = hi.dl + th64 @ hi.Dth.T
-                actf = act.astype(f64)
-                actf32 = act.astype(jnp.float32)
-                d_side = jnp.where(side, du_h, dl_h)
-                rhs = -actf * d_side
+
+                def _rich_sel(SELx, Rwx, act_x, side_x, du_hx, dl_hx, th64x):
+                    """f64 Richardson refinement through the compact slot
+                    preconditioner (SEL, Rw); returns (lam, U, fval)."""
+                    actf_x = act_x.astype(f64)
+                    actf32_x = act_x.astype(jnp.float32)
+                    rhs_x = -actf_x * jnp.where(side_x, du_hx, dl_hx)
+
+                    def applyRx(v):
+                        v32 = v.astype(jnp.float32)
+                        w = jnp.einsum("bsm,bm->bs", SELx, v32, precision=P_c)
+                        y = jnp.einsum("bij,bj->bi", Rwx, w, precision=P_c)
+                        full = jnp.einsum("bsm,bs->bm", SELx, y, precision=P_c)
+                        return (full + v32 * (1.0 - actf32_x)).astype(f64)
+
+                    mask_x = lambda v: (
+                        actf_x * ((v * actf_x) @ hi.G_solve.T)
+                        + (1.0 - actf_x) * v)
+                    lam_x = applyRx(rhs_x)
+                    for _ in range(REFINE_C):
+                        lam_x = lam_x + applyRx(rhs_x - mask_x(lam_x))
+                    U_x = (hi.u_off + th64x @ hi.Uth_off.T
+                           - lam_x @ hi.HinvET.T)
+                    f_tx = hi.f + th64x @ hi.f_theta.T
+                    fval_x = (0.5 * jnp.einsum("bi,ij,bj->b", U_x, hi.H, U_x)
+                              + jnp.sum(f_tx * U_x, axis=1))
+                    return lam_x, U_x, fval_x
+
+                def _kkt_bad(lam_x, act_x, side_x, du_hx, dl_hx):
+                    """f64 KKT residual per lane: inactive-row primal
+                    violation, active-row sign violation, and the
+                    working-set system residual (a stalled Richardson
+                    leaves active rows violated, invisible to the first
+                    two)."""
+                    actf_x = act_x.astype(f64)
+                    rhs_x = -actf_x * jnp.where(side_x, du_hx, dl_hx)
+                    mask_x = lambda v: (
+                        actf_x * ((v * actf_x) @ hi.G_solve.T)
+                        + (1.0 - actf_x) * v)
+                    c_x = lam_x @ hi.G.T
+                    inact_x = ~act_x & ~hi.is_immutable
+                    v_up = jnp.where(inact_x, -(du_hx + c_x), -jnp.inf)
+                    v_lo = jnp.where(inact_x, dl_hx + c_x, -jnp.inf)
+                    primal_x = jnp.max(jnp.maximum(v_up, v_lo), axis=1)
+                    sgn_x = jnp.max(jnp.where(
+                        act_x & ~hi.is_eq,
+                        jnp.where(side_x, -lam_x, lam_x), -jnp.inf), axis=1)
+                    sys_x = jnp.max(jnp.abs(mask_x(lam_x) - rhs_x), axis=1)
+                    return jnp.maximum(jnp.maximum(primal_x, sgn_x), sys_x)
 
                 if use_pallas_bulk:
-                    def applyR(v):
-                        # compact preconditioner through the kernel's
-                        # one-hot slot assignment SEL (B, s, m)
-                        v32 = v.astype(jnp.float32)
-                        w = jnp.einsum("bsm,bm->bs", SEL, v32, precision=P_c)
-                        y = jnp.einsum("bij,bj->bi", Rw_p, w, precision=P_c)
-                        full = jnp.einsum("bsm,bs->bm", SEL, y, precision=P_c)
-                        return (full + v32 * (1.0 - actf32)).astype(f64)
+                    lam, U, fval = _rich_sel(SEL, Rw_p, act, side,
+                                             du_h, dl_h, th64)
                 else:
+                    actf = act.astype(f64)
+                    actf32 = act.astype(jnp.float32)
+                    rhs = -actf * jnp.where(side, du_h, dl_h)
                     occf = occ.astype(jnp.float32)
                     brow = jnp.arange(B)[:, None]
 
@@ -588,31 +698,115 @@ class SolverEngine:
                             jnp.where(occ, y, 0.0))
                         return (full + v32 * (1.0 - actf32)).astype(f64)
 
-                mask_apply = lambda v: (
-                    actf * ((v * actf) @ hi.G_solve.T) + (1.0 - actf) * v)
-                lam = applyR(rhs)
-                for _ in range(REFINE_C):
-                    lam = lam + applyR(rhs - mask_apply(lam))
-                U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
-                f_t = hi.f + th64 @ hi.f_theta.T
-                fval = 0.5 * jnp.einsum("bi,ij,bj->b", U, hi.H, U) + jnp.sum(f_t * U, axis=1)
+                    mask_apply = lambda v: (
+                        actf * ((v * actf) @ hi.G_solve.T) + (1.0 - actf) * v)
+                    lam = applyR(rhs)
+                    for _ in range(REFINE_C):
+                        lam = lam + applyR(rhs - mask_apply(lam))
+                    U = hi.u_off + th64 @ hi.Uth_off.T - lam @ hi.HinvET.T
+                    f_t = hi.f + th64 @ hi.f_theta.T
+                    fval = (0.5 * jnp.einsum("bi,ij,bj->b", U, hi.H, U)
+                            + jnp.sum(f_t * U, axis=1))
 
-                c = lam @ hi.G.T
-                inact = ~act & ~hi.is_immutable
-                v_up = jnp.where(inact, -(du_h + c), -jnp.inf)
-                v_lo = jnp.where(inact, dl_h + c, -jnp.inf)
-                primal = jnp.max(jnp.maximum(v_up, v_lo), axis=1)
-                sgn = jnp.max(jnp.where(
-                    act & ~hi.is_eq, jnp.where(side, -lam, lam), -jnp.inf), axis=1)
-                sys_res = jnp.max(jnp.abs(mask_apply(lam) - rhs), axis=1)
-                bad = jnp.maximum(jnp.maximum(primal, sgn), sys_res)
-                # capacity-overflow lanes must go through the f64 tier
+                bad = _kkt_bad(lam, act, side, du_h, dl_h)
+                # capacity-overflow lanes cannot be certified by their carry
                 bad = jnp.where(ovf, jnp.inf, bad)
 
-                # the capped Pallas bulk (bulk_cap_p) intentionally leaves
-                # its iteration tail to this tier; size pool A for it
-                k_a = min(max(256, B // 32), B)
-                k_b = min(max(128, B // 64), B)
+                second = use_pallas_bulk and self._ciu_s2 is not None
+                if second:
+                    # second-chance f32 pass (VERDICT r3 #1): warm-resume
+                    # the worst K2 lanes -- the capped bulk's iteration
+                    # tail, Richardson stalls, and capacity overflows --
+                    # through the compact Pallas kernel at slot capacity
+                    # s2 >= s_max with a bounded extra budget, so the f64
+                    # XLA slot loop below shrinks to a small guard. Its
+                    # verdicts are accepted ONLY where they improve the
+                    # f64 KKT residual: in particular a warm-resumed ray
+                    # flag is NEVER taken as -3 (measured on the m=256
+                    # batch: accepting them flipped ~46 degenerate
+                    # feasible lanes to false infeasibility) -- such
+                    # lanes keep bad=inf and get their honest verdict
+                    # from the f64 guard.
+                    from .pallas_ciu import (
+                        phase1_ciu_pallas_while as _p1ciu)
+
+                    s2c = self._ciu_s2
+                    K2 = min(B, 128)
+                    cap2 = min(bulk_cap_c, max(160, 4 * bulk_cap_p))
+                    bad_sc = jnp.where(infeas32, -jnp.inf, bad)
+                    _, idx2 = jax.lax.top_k(bad_sc, K2)
+                    SELg = SEL[idx2]
+                    if s2c > s_max:
+                        SEL2 = jnp.concatenate([
+                            SELg,
+                            jnp.zeros((K2, s2c - s_max, m_c), jnp.float32),
+                        ], axis=1)
+                        Rw2 = jnp.tile(jnp.eye(s2c, dtype=jnp.float32),
+                                       (K2, 1, 1))
+                        Rw2 = Rw2.at[:, :s_max, :s_max].set(Rw_p[idx2])
+                    else:
+                        SEL2, Rw2 = SELg, Rw_p[idx2]
+                    eps32_sc = float(np.finfo(np.float32).eps)
+                    softd_sc = jnp.asarray(
+                        np.asarray(ldp.rho_soft, np.float64) + 4 * eps32_sc,
+                        jnp.float32)
+                    CH2 = min(self._ciu_s2_chunk, K2)
+                    nc2 = K2 // CH2
+
+                    def one2(args):
+                        du_c, dl_c, l0, a0, s0, SEL_c, Rw_c = args
+                        return _p1ciu(
+                            arr.G, softd_sc, du_c, dl_c,
+                            arr.is_eq.astype(jnp.float32),
+                            arr.is_immutable.astype(jnp.float32),
+                            l0, a0, s0, SEL_c, Rw_c,
+                            m=m_c, s=s2c, max_iter=cap2,
+                            primal_tol=self.primal_tol,
+                            sign_tol=self.sign_tol,
+                            interpret=self._ciu_pallas_interpret,
+                            retry_infeas=True)
+
+                    resh2 = lambda a: a.reshape((nc2, CH2) + a.shape[1:])
+                    args2 = tuple(resh2(a) for a in (
+                        du_t[idx2], dl_t[idx2], lam32[idx2],
+                        act[idx2].astype(jnp.float32),
+                        side[idx2].astype(jnp.float32),
+                        SEL2.reshape(K2, s2c * m_c), Rw2))
+                    if nc2 == 1:
+                        out2 = [o[None] for o in one2(
+                            tuple(a[0] for a in args2))]
+                    else:
+                        out2 = jax.lax.map(one2, args2)
+                    unsh2 = lambda a: a.reshape((K2,) + a.shape[2:])
+                    (lam2_32, act2, side2, it2, _done2, infeas2, ovf2,
+                     SEL2o, Rw2o) = (unsh2(o) for o in out2)
+                    SEL2o = SEL2o.reshape(K2, s2c, m_c)
+                    lam2, U2, fval2 = _rich_sel(
+                        SEL2o, Rw2o, act2, side2,
+                        du_h[idx2], dl_h[idx2], th64[idx2])
+                    bad2 = _kkt_bad(lam2, act2, side2, du_h[idx2], dl_h[idx2])
+                    # overflow-at-s2 and warm-derived ray flags are not
+                    # certifiable states: leave them to the f64 guard
+                    bad2 = jnp.where(ovf2 | infeas2, jnp.inf, bad2)
+                    take = bad2 < bad[idx2]
+                    tk = lambda upd, old: jnp.where(
+                        take.reshape((-1,) + (1,) * (upd.ndim - 1)), upd, old)
+                    scat = lambda base, upd: base.at[idx2].set(
+                        tk(upd, base[idx2]))
+                    lam = scat(lam, lam2)
+                    U = scat(U, U2)
+                    fval = scat(fval, fval2)
+                    act = scat(act, act2)
+                    side = scat(side, side2)
+                    iters = iters.at[idx2].add(it2)
+                    bad = scat(bad, bad2)
+
+                # the f64 guard tier: after the second chance it only
+                # catches lanes the f32 kernel cannot certify (double
+                # overflow, marginal sets); without it (XLA bulk path) it
+                # also absorbs the capped bulk's iteration tail
+                k_a = min(64, B) if second else min(max(256, B // 32), B)
+                k_b = min(32, B) if second else min(max(128, B // 64), B)
                 bad_a = jnp.where(infeas32, -jnp.inf, bad)
                 bad_b = jnp.where(infeas32, jnp.inf, -jnp.inf)
                 top_a, idx_a = jax.lax.top_k(bad_a, k_a)

@@ -20,11 +20,32 @@ feasible start.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_LP_DEVICE = None
+
+
+def _lp_device():
+    """Where the oracle runs. Default: the host CPU backend even when an
+    accelerator is attached -- each offline wave is a tiny f64 LP batch
+    (B <= a few hundred, m <= ~100, n <= ~10) where remote compilation
+    and per-call tunnel polls dominate the actual Newton work by 50x+
+    (measured: invpend enumeration 12 s through the axon tunnel vs 0.2 s
+    on host XLA). LINEARMPC_TPU_LP_DEVICE=tpu opts large fleets onto the
+    accelerator; the math is backend-agnostic."""
+    global _LP_DEVICE
+    if _LP_DEVICE is None:
+        pref = os.environ.get("LINEARMPC_TPU_LP_DEVICE", "cpu")
+        try:
+            _LP_DEVICE = jax.devices(pref)[0]
+        except Exception:
+            _LP_DEVICE = jax.devices()[0]
+    return _LP_DEVICE
 
 
 @partial(jax.jit, static_argnames=("n_iter",))
@@ -104,18 +125,21 @@ def lp_ipm_batch(A, b, c, x0, *, n_iter: int = 40):
 
 
 def _pad_lp(A, b, x0, cs=None):
-    """Bucket LP batches to cached jit shapes: rows to the next multiple
-    of 32 (zero rows with rhs 2: never binding, slack 2 from any x), lanes
-    to the next power of two >= 64 (lane 0 repeated). Enumeration calls
-    the oracle once per BFS frontier, each with a different (B, m) --
-    without bucketing, XLA recompiles the IPM for every frontier and the
-    compiles dominate the whole offline analysis (measured: 3.9 s of
-    6.8 s on CPU; worse through the axon remote compiler). Returns the
-    padded arrays and the true B to slice back. Certified-slack callers
-    must use the PADDED row count (padding rows' complementarity products
-    only loosen the bound -- still sound)."""
+    """Bucket LP batches to cached jit shapes: rows to the next POWER OF
+    TWO >= 32 (zero rows with rhs 2: never binding, slack 2 from any x),
+    lanes to the next power of two >= 64 (lane 0 repeated), lanes capped
+    by the caller's chunking. Enumeration calls the oracle once per BFS
+    frontier, each with a different (B, m) -- without bucketing, XLA
+    recompiles the IPM for every frontier and the compiles dominate the
+    whole offline analysis (measured: 3.9 s of 6.8 s on CPU; worse
+    through the axon remote compiler). Returns the padded arrays and the
+    true B to slice back. Certified-slack callers must use the PADDED
+    row count (padding rows' complementarity products only loosen the
+    bound -- still sound)."""
     B, m, n = A.shape
-    m_pad = ((m + 31) // 32) * 32
+    m_pad = 32
+    while m_pad < m:
+        m_pad *= 2
     B_pad = 64
     while B_pad < B:
         B_pad *= 2
@@ -129,6 +153,26 @@ def _pad_lp(A, b, x0, cs=None):
         if cs is not None and np.ndim(cs) > 1:
             cs = rep(np.asarray(cs))
     return A, b, x0, cs, B
+
+
+# lane cap per IPM dispatch; candidate batches are chunked (sorted by
+# their true row count first, so one deep candidate does not force the
+# whole wave onto the fattest row bucket)
+_LP_CHUNK = 1024
+
+
+def _row_sorted_chunks(As, bs):
+    """Yield (index_array, m_trunc) chunks of <= _LP_CHUNK lanes, sorted
+    by true (non-padding) row count so each chunk can be truncated to its
+    own power-of-two row bucket. Rows are built front-packed by every
+    caller; padding rows have zero norm."""
+    B, m, _ = As.shape
+    used = (np.linalg.norm(As, axis=2) > 1e-12).sum(axis=1)
+    order = np.argsort(used, kind="stable")
+    for i0 in range(0, B, _LP_CHUNK):
+        idx = order[i0 : i0 + _LP_CHUNK]
+        m_t = max(32, int(used[idx].max()) if len(idx) else 32)
+        yield idx, min(m, m_t)
 
 
 def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
@@ -154,6 +198,8 @@ def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
     B, m, nth = As.shape
     lb = np.asarray(lb, dtype=np.float64)
     ub = np.asarray(ub, dtype=np.float64)
+    cs = np.broadcast_to(np.asarray(cs, np.float64), (B, nth))
+    x0 = np.asarray(x0, np.float64)
 
     box_A = np.zeros((2 * nth, nth))
     box_b = np.zeros(2 * nth)
@@ -162,19 +208,28 @@ def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
         box_b[2 * i] = ub[i]
         box_A[2 * i + 1, i] = -1.0
         box_b[2 * i + 1] = -lb[i]
-    A = np.concatenate([As, np.broadcast_to(box_A, (B, 2 * nth, nth))], axis=1)
-    b = np.concatenate([bs, np.broadcast_to(box_b, (B, 2 * nth))], axis=1)
-
-    A, b, x0p, cs, B = _pad_lp(A, b, np.asarray(x0, np.float64), cs)
-    x, obj, gap, rd = lp_ipm_batch(
-        jnp.asarray(A), jnp.asarray(b), jnp.asarray(cs, dtype=jnp.float64),
-        jnp.asarray(x0p, dtype=jnp.float64), n_iter=n_iter,
-    )
-    m_total = A.shape[1]
     box_mag = np.maximum(np.abs(lb), np.abs(ub))       # (nth,)
-    rd_term = (np.abs(np.asarray(rd)) @ box_mag)[:B]   # (B,)
-    return (np.asarray(obj)[:B], m_total * np.asarray(gap)[:B] + rd_term,
-            np.asarray(gap)[:B])
+
+    val = np.zeros(B)
+    slack_tot = np.zeros(B)
+    gap_out = np.zeros(B)
+    dev = _lp_device()
+    put = lambda a: jax.device_put(jnp.asarray(a, dtype=jnp.float64), dev)
+    for idx, m_t in _row_sorted_chunks(As, bs):
+        Bc = len(idx)
+        A = np.concatenate(
+            [As[idx, :m_t], np.broadcast_to(box_A, (Bc, 2 * nth, nth))], axis=1)
+        b = np.concatenate([bs[idx, :m_t],
+                            np.broadcast_to(box_b, (Bc, 2 * nth))], axis=1)
+        Ap, bp, x0p, csp, Bc = _pad_lp(A, b, x0[idx], cs[idx])
+        x, obj, gap, rd = lp_ipm_batch(
+            put(Ap), put(bp), put(csp), put(x0p), n_iter=n_iter)
+        m_total = Ap.shape[1]
+        rd_term = (np.abs(np.asarray(rd)) @ box_mag)[:Bc]
+        val[idx] = np.asarray(obj)[:Bc]
+        slack_tot[idx] = m_total * np.asarray(gap)[:Bc] + rd_term
+        gap_out[idx] = np.asarray(gap)[:Bc]
+    return val, slack_tot, gap_out
 
 
 def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
@@ -198,7 +253,6 @@ def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
     lb = np.asarray(lb, dtype=np.float64)
     ub = np.asarray(ub, dtype=np.float64)
 
-    norms = np.linalg.norm(As, axis=2)                # (B, m)
     # LP rows over x = [th; r]
     box_A = np.zeros((2 * nth, nth + 1))
     box_b = np.zeros(2 * nth)
@@ -207,33 +261,40 @@ def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
         box_b[2 * i] = ub[i]
         box_A[2 * i + 1, i], box_A[2 * i + 1, nth] = -1.0, 1.0
         box_b[2 * i + 1] = -lb[i]
-    A = np.concatenate(
-        [np.concatenate([As, norms[..., None]], axis=2),
-         np.broadcast_to(box_A, (B, 2 * nth, nth + 1))], axis=1,
-    )
-    b = np.concatenate([bs, np.broadcast_to(box_b, (B, 2 * nth))], axis=1)
-
-    # strictly feasible start: box center, r below every slack
-    center = (lb + ub) / 2
-    slack0 = bs - As @ center                          # (B, m)
-    coef = np.where(norms > 1e-12, norms, 1.0)
-    r_cand = np.where(norms > 1e-12, slack0 / coef, np.inf)
-    r_box = np.min((ub - lb) / 2)
-    r0 = np.minimum(np.min(r_cand, axis=1), r_box) - 1.0
-    x0 = np.concatenate(
-        [np.broadcast_to(center, (B, nth)), r0[:, None]], axis=1
-    )
-
     c = np.zeros(nth + 1)
     c[nth] = -1.0  # maximize r
+    center = (lb + ub) / 2
+    r_box = np.min((ub - lb) / 2)
 
-    A, b, x0, _cs, B = _pad_lp(A, b, x0)
-    x, obj, gap, rd = lp_ipm_batch(
-        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), jnp.asarray(x0),
-        n_iter=n_iter,
-    )
-    x = np.asarray(x)[:B]
-    # fold the dual residual into the reported gap so caller thresholds
-    # (route-to-host-LP above ~1e-9) see both convergence failures
-    gap_eff = (np.asarray(gap) + np.max(np.abs(np.asarray(rd)), axis=1))[:B]
-    return x[:, nth], x[:, :nth], gap_eff
+    r_out = np.zeros(B)
+    cen_out = np.zeros((B, nth))
+    gap_out = np.zeros(B)
+    dev = _lp_device()
+    put = lambda a: jax.device_put(jnp.asarray(a, dtype=jnp.float64), dev)
+    for idx, m_t in _row_sorted_chunks(As, bs):
+        Bc = len(idx)
+        As_c, bs_c = As[idx, :m_t], bs[idx, :m_t]
+        norms = np.linalg.norm(As_c, axis=2)          # (Bc, m_t)
+        A = np.concatenate(
+            [np.concatenate([As_c, norms[..., None]], axis=2),
+             np.broadcast_to(box_A, (Bc, 2 * nth, nth + 1))], axis=1)
+        b = np.concatenate([bs_c, np.broadcast_to(box_b, (Bc, 2 * nth))],
+                           axis=1)
+        # strictly feasible start: box center, r below every slack
+        slack0 = bs_c - As_c @ center
+        coef = np.where(norms > 1e-12, norms, 1.0)
+        r_cand = np.where(norms > 1e-12, slack0 / coef, np.inf)
+        r0 = np.minimum(np.min(r_cand, axis=1, initial=np.inf), r_box) - 1.0
+        x0 = np.concatenate(
+            [np.broadcast_to(center, (Bc, nth)), r0[:, None]], axis=1)
+        Ap, bp, x0p, _cs, Bc = _pad_lp(A, b, x0)
+        x, obj, gap, rd = lp_ipm_batch(
+            put(Ap), put(bp), put(c), put(x0p), n_iter=n_iter)
+        x = np.asarray(x)[:Bc]
+        r_out[idx] = x[:, nth]
+        cen_out[idx] = x[:, :nth]
+        # fold the dual residual into the reported gap so caller
+        # thresholds (route-to-host-LP above ~1e-9) see both failures
+        gap_out[idx] = (np.asarray(gap)
+                        + np.max(np.abs(np.asarray(rd)), axis=1))[:Bc]
+    return r_out, cen_out, gap_out

@@ -48,7 +48,8 @@ LANES = 128
 PREC = jax.lax.Precision.HIGHEST
 
 
-def ciu_max_chunk_lanes(m: int, s: int, vmem_budget_bytes: int = 36 * 2**20) -> int:
+def ciu_max_chunk_lanes(m: int, s: int, vmem_budget_bytes: int = 36 * 2**20,
+                        max_lanes: int = LANES) -> int:
     """Largest lane chunk whose kernel working set fits VMEM (0 = disabled).
 
     Budget model (f32): shared movement matrices 2*s^2*m + 3*s^3 + m^2
@@ -65,7 +66,7 @@ def ciu_max_chunk_lanes(m: int, s: int, vmem_budget_bytes: int = 36 * 2**20) -> 
     lanes = (vmem_budget_bytes - consts) // per_lane
     if lanes < LANES:
         return 0
-    return min(LANES, (lanes // LANES) * LANES)
+    return min(max_lanes, (lanes // LANES) * LANES)
 
 
 def make_ciu_consts(m: int, s: int):
@@ -386,7 +387,8 @@ def _prep(G, softd, du_t, dl_t, eq, immut, lam0, act0, side0, SEL0, Rw0, m, s):
 @functools.partial(
     jax.jit,
     static_argnames=("m", "s", "max_iter", "primal_tol", "sign_tol",
-                     "gamma_tol", "interpret", "retry_infeas"),
+                     "gamma_tol", "interpret", "retry_infeas",
+                     "steps_per_check"),
 )
 def phase1_ciu_pallas_while(
     G, softd, du_t, dl_t, eq, immut, lam0, act0, side0, SEL0, Rw0,
@@ -399,12 +401,18 @@ def phase1_ciu_pallas_while(
     gamma_tol: float = 3.5e-4,
     interpret: bool = False,
     retry_infeas: bool = True,
+    steps_per_check: int = 1,
 ):
     """Early-exit compact bulk phase. Returns batch-major
     ``(lam, act, side, iters, done, infeas, ovf, SEL, Rw)``.
 
     ``retry_infeas``: dual-ray verdicts reached from a warm carried state
-    are re-checked from a cold start (see phase1_iu_pallas_while)."""
+    are re-checked from a cold start (see phase1_iu_pallas_while).
+
+    ``steps_per_check``: kernel calls per while-loop condition check (a
+    done lane freezes inside the kernel, so the only cost of K > 1 is up
+    to K-1 no-op kernel calls after the chunk converges, against one
+    cond reduction per K calls)."""
     B = du_t.shape[0]
     assert B % LANES == 0, "batch must be a multiple of 128"
     (Tsm_rep, S_slot, Tss_tile, Tss_rep, S_grp_ss,
@@ -415,6 +423,7 @@ def phase1_ciu_pallas_while(
 
     zero_state = jnp.zeros((m, B), jnp.float32)
     iters0 = jnp.zeros((B,), jnp.float32)
+    K = max(1, int(steps_per_check))
 
     def cond(c):
         *_state, done, _infeas, _ovf, _SEL, _Rw, _iters, it = c
@@ -422,12 +431,13 @@ def phase1_ciu_pallas_while(
 
     def body(c):
         lam, act, side, pend, done, infeas, ovf, SEL, Rw, iters, it = c
-        iters = iters + (1.0 - done[0])
-        lam, act, side, pend, done, infeas, ovf, SEL, Rw = call(
-            Tsm_rep, S_slot, Tss_tile, Tss_rep, S_grp_ss,
-            Gd, softd_c, du_l, dl_l, eq_c, immut_c,
-            lam, act, side, pend, done, infeas, ovf, SEL, Rw)
-        return (lam, act, side, pend, done, infeas, ovf, SEL, Rw, iters, it + 1)
+        for _ in range(K):
+            iters = iters + (1.0 - done[0])
+            lam, act, side, pend, done, infeas, ovf, SEL, Rw = call(
+                Tsm_rep, S_slot, Tss_tile, Tss_rep, S_grp_ss,
+                Gd, softd_c, du_l, dl_l, eq_c, immut_c,
+                lam, act, side, pend, done, infeas, ovf, SEL, Rw)
+        return (lam, act, side, pend, done, infeas, ovf, SEL, Rw, iters, it + K)
 
     state = (lam_l, act_l, side_l, zero_state, zero_state, zero_state,
              zero_state, SEL_l, Rw_l, iters0, jnp.int32(0))

@@ -200,3 +200,43 @@ def test_inverse_update_bulk_matches_reference():
             assert np.max(np.abs(U[i] - Ur)) < 1e-8, i
             checked += 1
     assert checked >= B // 3
+
+
+def test_ciu_routing_boundary(monkeypatch):
+    """VERDICT r3 #6: no silent cliff at the compact kernel's VMEM
+    ceiling. At m=512 the engine keeps the Pallas path live by shrinking
+    s_max to fit the lane chunk (bounded at half the heuristic); past the
+    ceiling (m=896) it falls back to the XLA compact loop with the
+    DEFAULT capacity restored."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("LINEARMPC_TPU_CIUPALLAS", "interpret")
+
+    mpc5, _ = lmpc.mpc_examples("invpend", 127, 8)
+    mpc5.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
+                        ks=range(2, 128))
+    mpc5.setup(dtype=jnp.float32)
+    e5 = mpc5.engine
+    assert e5.ldp.m == 512
+    assert e5.use_ciu_batch and e5.use_ciu_pallas
+    assert e5.ciu_s_max == 16          # n + 8 heuristic
+    assert e5._ciu_s2 == 24            # largest capacity that fits at m=512
+
+    # near the kernel ceiling (m ~ 715 at s=16) the Pallas path stays
+    # live with the same 16-slot capacity
+    mpc6, _ = lmpc.mpc_examples("invpend", 157, 8)
+    mpc6.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
+                        ks=range(2, 158))
+    mpc6.setup(dtype=jnp.float32)
+    e6 = mpc6.engine
+    assert e6.ldp.m == 632
+    assert e6.use_ciu_batch and e6.use_ciu_pallas
+    assert e6.ciu_s_max == 16
+
+    mpc9, _ = lmpc.mpc_examples("invpend", 223, 8)
+    mpc9.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4), ub=18 * np.ones(4),
+                        ks=range(2, 224))
+    mpc9.setup(dtype=jnp.float32)
+    e9 = mpc9.engine
+    assert e9.ldp.m == 896
+    assert e9.use_ciu_batch and not e9.use_ciu_pallas

@@ -168,6 +168,70 @@ def test_ciu_pallas_engine_path(monkeypatch):
     assert n_ok >= 100
 
 
+def test_ciu_second_chance_absorbs_iteration_tail(monkeypatch):
+    """VERDICT r3 #1: with the cold bulk capped absurdly low, nearly every
+    lane is a straggler; the second-chance Pallas pass (warm resume at
+    slot capacity s2 with the full budget) must still resolve the batch
+    to oracle accuracy -- the f64 guard tier only holds 64+32 lanes, so
+    a broken second chance cannot hide behind it."""
+    monkeypatch.setenv("LINEARMPC_TPU_CIUPALLAS", "interpret")
+    monkeypatch.setenv("LINEARMPC_TPU_CIU_CAP", "4")
+    mpc = _mpc_m48()
+    e = mpc.engine
+    assert e.use_ciu_pallas and e._ciu_s2 is not None
+    thetas = _thetas(128, seed=21)
+    sol = e.solve_batch(thetas)
+    st = np.asarray(sol.status)
+    U = np.asarray(sol.U, np.float64)
+    n_ok = 0
+    for i in range(thetas.shape[0]):
+        U_ref, *_r, s_ref = solve_ldp_numpy(e.ldp, thetas[i])
+        if s_ref == 1:
+            n_ok += 1
+            assert st[i] == 1, i
+            assert np.max(np.abs(U[i] - U_ref)) < 1e-8, i
+    assert n_ok >= 100
+
+
+def test_ciu_second_chance_resolves_overflow(monkeypatch):
+    """Lanes that overflow the first pass's slot capacity must be
+    re-solved by the second-chance pass at doubled capacity, not dumped
+    wholesale on the f64 guard tier."""
+    monkeypatch.setenv("LINEARMPC_TPU_CIUPALLAS", "interpret")
+    monkeypatch.setenv("LINEARMPC_TPU_CIU_SMAX", "8")
+    mpc = _mpc_m48()
+    e = mpc.engine
+    assert e.ciu_s_max == 8 and e._ciu_s2 == 16
+    thetas = _thetas(128, lo=14.0, seed=9)  # wide box: larger active sets
+    sol = e.solve_batch(thetas)
+    st = np.asarray(sol.status)
+    U = np.asarray(sol.U, np.float64)
+    n_ok = 0
+    for i in range(thetas.shape[0]):
+        U_ref, *_r, s_ref = solve_ldp_numpy(e.ldp, thetas[i])
+        if s_ref == 1:
+            n_ok += 1
+            assert st[i] == 1, i
+            assert np.max(np.abs(U[i] - U_ref)) < 1e-8, i
+    assert n_ok >= 60
+
+
+def test_ciu_second_chance_off_matches(monkeypatch):
+    """LINEARMPC_TPU_CIU_SECOND=0 restores the round-3 tiering (wide f64
+    pools); both configurations must produce the same controls."""
+    thetas = _thetas(128, seed=33)
+    monkeypatch.setenv("LINEARMPC_TPU_CIUPALLAS", "interpret")
+    mpc_a = _mpc_m48()
+    sol_a = mpc_a.engine.solve_batch(thetas)
+    monkeypatch.setenv("LINEARMPC_TPU_CIU_SECOND", "0")
+    mpc_b = _mpc_m48()
+    assert mpc_b.engine._ciu_s2 is None
+    sol_b = mpc_b.engine.solve_batch(thetas)
+    ok = (np.asarray(sol_a.status) == 1) & (np.asarray(sol_b.status) == 1)
+    assert ok.mean() > 0.9
+    assert np.max(np.abs(np.asarray(sol_a.U)[ok] - np.asarray(sol_b.U)[ok])) < 1e-8
+
+
 def test_ciu_fused_rollout_matches_xla(monkeypatch):
     """Fused compact rollout (warm SEL/Rw slot carry in the scan) must
     produce the same closed-loop controls as the solve_single path."""
