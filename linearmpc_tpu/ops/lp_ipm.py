@@ -140,7 +140,10 @@ def _pad_lp(A, b, x0, cs=None):
     m_pad = 32
     while m_pad < m:
         m_pad *= 2
-    B_pad = 64
+    # lane floor 256: tiny frontiers are cheap to over-pad, and a floor
+    # this high keeps the whole enumeration on ~one compiled shape
+    # (compiles dominated the invpend enumeration wall otherwise)
+    B_pad = 256
     while B_pad < B:
         B_pad *= 2
     if m_pad > m:
@@ -159,6 +162,81 @@ def _pad_lp(A, b, x0, cs=None):
 # their true row count first, so one deep candidate does not force the
 # whole wave onto the fattest row bucket)
 _LP_CHUNK = 1024
+
+# chunks at or below this lane count run the NumPy twin of the IPM:
+# at enumeration scale (a few hundred tiny f64 LPs) the XLA compile of
+# the jitted path costs more than the entire Newton work, and small
+# problems never amortize it (measured: the whole invpend default-range
+# enumeration is ~0.2 s of host math vs ~1 s of one-bucket XLA compile)
+_LP_NUMPY_MAX = int(os.environ.get("LINEARMPC_TPU_LP_NUMPY_MAX", "256"))
+
+
+def _ipm_numpy(A, b, c, x0, n_iter):
+    """NumPy twin of ``lp_ipm_batch`` (same iteration, same QR-of-
+    sqrt(D)A Newton solve); returns (x, obj, gap, rd)."""
+    B, m, n = A.shape
+    c = np.broadcast_to(c, (B, n))
+    x = x0.copy()
+    s = b - np.einsum("bmn,bn->bm", A, x0)
+    lam = np.ones((B, m))
+    eye = np.eye(n)
+    for _ in range(n_iter):
+        s = np.maximum(s, 1e-14)
+        d = lam / s
+        mu = np.mean(lam * s, axis=1, keepdims=True)
+        sigma = 0.2
+        r_d = c + np.einsum("bmn,bm->bn", A, lam)
+        rhs = -r_d - np.einsum("bmn,bm->bn", A, sigma * mu / s - lam)
+        W = np.sqrt(d)[..., None] * A
+        tr = np.sum(W * W, axis=(1, 2), keepdims=True) / n
+        W_aug = np.concatenate(
+            [W, np.sqrt(1e-13 * tr + 1e-30) * eye[None, :, :]
+             * np.ones((B, 1, 1))], axis=1)
+        Rq = np.linalg.qr(W_aug, mode="r")
+        # R'R dx = rhs via two tiny triangular systems (n <= ~10: a
+        # generic batched solve is exact and cheap)
+        z = np.linalg.solve(np.swapaxes(Rq, -1, -2), rhs[..., None])
+        dx = np.linalg.solve(Rq, z)[..., 0]
+        ds = -np.einsum("bmn,bn->bm", A, dx)
+        dlam = (sigma * mu - lam * (s + ds)) / s
+
+        def maxstep(v, dv):
+            t = np.where(dv < 0, -v / np.where(dv < 0, dv, -1.0), np.inf)
+            return np.minimum(1.0, 0.995 * np.min(t, axis=1, keepdims=True))
+
+        ap = maxstep(s, ds)
+        ad = maxstep(lam, dlam)
+        x = x + ap * dx
+        s = s + ap * ds
+        lam = lam + ad * dlam
+    obj = np.sum(c * x, axis=1)
+    gap = np.sum(lam * s, axis=1) / m
+    rd = c + np.einsum("bmn,bm->bn", A, lam)
+    return x, obj, gap, rd
+
+
+def _run_ipm(A, b, cs, x0, n_iter):
+    """Dispatch one UNPADDED chunk to the NumPy twin (small batches: no
+    shape bucketing, no compile) or to the padded jitted backend path
+    (large batches), returning numpy (x, obj, gap, rd, m_padded) sliced
+    to the true lane count. ``m_padded`` is the row count the gap was
+    computed over (certificates must use it)."""
+    B = A.shape[0]
+    if B <= _LP_NUMPY_MAX:
+        x, obj, gap, rd = _ipm_numpy(
+            np.asarray(A, np.float64), np.asarray(b, np.float64),
+            np.broadcast_to(np.asarray(cs, np.float64), (B, A.shape[2])),
+            np.asarray(x0, np.float64), n_iter)
+        return x, obj, gap, rd, A.shape[1]
+    Ap, bp, x0p, csp, Bt = _pad_lp(A, b, np.asarray(x0, np.float64),
+                                   np.broadcast_to(np.asarray(cs, np.float64),
+                                                   (B, A.shape[2])))
+    dev = _lp_device()
+    put = lambda a: jax.device_put(jnp.asarray(a, dtype=jnp.float64), dev)
+    x, obj, gap, rd = lp_ipm_batch(put(Ap), put(bp), put(csp), put(x0p),
+                                   n_iter=n_iter)
+    return (np.asarray(x)[:Bt], np.asarray(obj)[:Bt], np.asarray(gap)[:Bt],
+            np.asarray(rd)[:Bt], Ap.shape[1])
 
 
 def _row_sorted_chunks(As, bs):
@@ -213,22 +291,16 @@ def support_batch(As, bs, lb, ub, cs, x0, *, n_iter: int = 45):
     val = np.zeros(B)
     slack_tot = np.zeros(B)
     gap_out = np.zeros(B)
-    dev = _lp_device()
-    put = lambda a: jax.device_put(jnp.asarray(a, dtype=jnp.float64), dev)
     for idx, m_t in _row_sorted_chunks(As, bs):
         Bc = len(idx)
         A = np.concatenate(
             [As[idx, :m_t], np.broadcast_to(box_A, (Bc, 2 * nth, nth))], axis=1)
         b = np.concatenate([bs[idx, :m_t],
                             np.broadcast_to(box_b, (Bc, 2 * nth))], axis=1)
-        Ap, bp, x0p, csp, Bc = _pad_lp(A, b, x0[idx], cs[idx])
-        x, obj, gap, rd = lp_ipm_batch(
-            put(Ap), put(bp), put(csp), put(x0p), n_iter=n_iter)
-        m_total = Ap.shape[1]
-        rd_term = (np.abs(np.asarray(rd)) @ box_mag)[:Bc]
-        val[idx] = np.asarray(obj)[:Bc]
-        slack_tot[idx] = m_total * np.asarray(gap)[:Bc] + rd_term
-        gap_out[idx] = np.asarray(gap)[:Bc]
+        x, obj, gap, rd, m_total = _run_ipm(A, b, cs[idx], x0[idx], n_iter)
+        val[idx] = obj
+        slack_tot[idx] = m_total * gap + (np.abs(rd) @ box_mag)
+        gap_out[idx] = gap
     return val, slack_tot, gap_out
 
 
@@ -269,8 +341,6 @@ def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
     r_out = np.zeros(B)
     cen_out = np.zeros((B, nth))
     gap_out = np.zeros(B)
-    dev = _lp_device()
-    put = lambda a: jax.device_put(jnp.asarray(a, dtype=jnp.float64), dev)
     for idx, m_t in _row_sorted_chunks(As, bs):
         Bc = len(idx)
         As_c, bs_c = As[idx, :m_t], bs[idx, :m_t]
@@ -287,14 +357,10 @@ def chebyshev_batch(As, bs, lb, ub, *, n_iter: int = 45):
         r0 = np.minimum(np.min(r_cand, axis=1, initial=np.inf), r_box) - 1.0
         x0 = np.concatenate(
             [np.broadcast_to(center, (Bc, nth)), r0[:, None]], axis=1)
-        Ap, bp, x0p, _cs, Bc = _pad_lp(A, b, x0)
-        x, obj, gap, rd = lp_ipm_batch(
-            put(Ap), put(bp), put(c), put(x0p), n_iter=n_iter)
-        x = np.asarray(x)[:Bc]
+        x, obj, gap, rd, _mt = _run_ipm(A, b, c, x0, n_iter)
         r_out[idx] = x[:, nth]
         cen_out[idx] = x[:, :nth]
         # fold the dual residual into the reported gap so caller
         # thresholds (route-to-host-LP above ~1e-9) see both failures
-        gap_out[idx] = (np.asarray(gap)
-                        + np.max(np.abs(np.asarray(rd)), axis=1))[:Bc]
+        gap_out[idx] = gap + np.max(np.abs(rd), axis=1)
     return r_out, cen_out, gap_out

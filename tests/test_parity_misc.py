@@ -230,3 +230,17 @@ def test_label_helpers():
     assert lmpc.prettify_parameter_label("y2r_5") == "y2^r_5"
     assert lmpc.make_subscript("x12") == "x_12"
     assert lmpc.make_subscript("phi") == "phi"
+
+
+def test_perf_table_in_sync():
+    """README's performance table must be generated from the newest
+    driver-captured BENCH_r*.json (three rounds of hand-typed numbers
+    drifted from the official runs; VERDICT r3 #5)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import gen_perf_tables
+
+    assert gen_perf_tables.sync(write=False), (
+        "README.md perf table is stale; run tools/gen_perf_tables.py")
