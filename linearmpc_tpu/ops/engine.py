@@ -735,17 +735,24 @@ class SolverEngine:
                     cap2 = min(bulk_cap_c, max(160, 4 * bulk_cap_p))
                     bad_sc = jnp.where(infeas32, -jnp.inf, bad)
                     _, idx2 = jax.lax.top_k(bad_sc, K2)
-                    SELg = SEL[idx2]
-                    if s2c > s_max:
-                        SEL2 = jnp.concatenate([
-                            SELg,
-                            jnp.zeros((K2, s2c - s_max, m_c), jnp.float32),
-                        ], axis=1)
-                        Rw2 = jnp.tile(jnp.eye(s2c, dtype=jnp.float32),
-                                       (K2, 1, 1))
-                        Rw2 = Rw2.at[:, :s_max, :s_max].set(Rw_p[idx2])
-                    else:
-                        SEL2, Rw2 = SELg, Rw_p[idx2]
+                    # REBUILD the slot carry from each gathered lane's
+                    # working set (batched masked Cholesky +
+                    # Newton-Schulz at s2) instead of embedding the
+                    # carried Rw: a Richardson-stalled lane's carry is
+                    # exactly the drifted inverse that caused the stall,
+                    # and a warm resume with it re-converges instantly
+                    # to the same uncertifiable state. Lanes whose set
+                    # exceeds s2 restart cold with the bigger budget.
+                    from .pallas_ciu import init_compact_batch
+
+                    act_g = act[idx2]
+                    fits2 = jnp.sum(act_g, axis=1) <= s2c
+                    act_g = jnp.where(fits2[:, None], act_g,
+                                      jnp.broadcast_to(arr.is_eq, act_g.shape))
+                    lam_g = jnp.where(fits2[:, None], lam32[idx2], 0.0)
+                    side_g = jnp.where(fits2[:, None], side[idx2], True)
+                    Rw2, SEL2, _ovf0 = init_compact_batch(
+                        arr.G_solve, act_g, s2c)
                     eps32_sc = float(np.finfo(np.float32).eps)
                     softd_sc = jnp.asarray(
                         np.asarray(ldp.rho_soft, np.float64) + 4 * eps32_sc,
@@ -768,9 +775,9 @@ class SolverEngine:
 
                     resh2 = lambda a: a.reshape((nc2, CH2) + a.shape[1:])
                     args2 = tuple(resh2(a) for a in (
-                        du_t[idx2], dl_t[idx2], lam32[idx2],
-                        act[idx2].astype(jnp.float32),
-                        side[idx2].astype(jnp.float32),
+                        du_t[idx2], dl_t[idx2], lam_g.astype(jnp.float32),
+                        act_g.astype(jnp.float32),
+                        side_g.astype(jnp.float32),
                         SEL2.reshape(K2, s2c * m_c), Rw2))
                     if nc2 == 1:
                         out2 = [o[None] for o in one2(
@@ -1242,13 +1249,31 @@ class SolverEngine:
                     # -2); the masked-Cholesky loop is the scheme that
                     # converges there
                     fr_mode = "cholesky" if ldp.m > 64 else "iu"
+                    fr_arrays = self.arrays
+                    fr_tols = dict(primal_tol=self.primal_tol,
+                                   sign_tol=self.sign_tol)
+                    if (fr_mode == "cholesky" and self.dtype == jnp.float32
+                            and self.arrays_hi is not None):
+                        # VERDICT r3 #2: the f32 Cholesky ridge
+                        # (~100 m eps32 ~ 3e-3 at m=250) cannot resolve
+                        # the massively dual-degenerate relaxations (170
+                        # active rows vs rank 70 on invpend_contact's
+                        # root), so every node fails _primal_feasible and
+                        # the lane honestly returns -1. Emulated-f64
+                        # Cholesky/triangular-solve DOES work on TPU:
+                        # run the node relaxations (and the whole
+                        # frontier state) in f64 -- slower per iteration,
+                        # but it matches the CPU differential path and
+                        # actually resolves on-chip
+                        fr_arrays = self.arrays_hi
+                        fr_tols = dict(primal_tol=min(self.primal_tol, 1e-6),
+                                       sign_tol=1e-11)
                     fr_relax = make_xla_relax(
-                        self.arrays, max_iter=node_cap,
-                        primal_tol=self.primal_tol, sign_tol=self.sign_tol,
-                        mode=fr_mode)
+                        fr_arrays, max_iter=node_cap, mode=fr_mode,
+                        **fr_tols)
                     self._frontier_batched = jax.jit(
                         lambda arrays, hi, ths: solve_bnb_frontier(
-                            arrays, hi, ths, fr_relax, stack_cap=stack_cap,
+                            fr_arrays, hi, ths, fr_relax, stack_cap=stack_cap,
                             node_limit=self.bnb_node_limit,
                             use_cholesky=self.symmetric, warm_nodes=True,
                         )

@@ -353,3 +353,33 @@ def test_frontier_chunked_batch_sizes(monkeypatch):
     ths = rng.uniform(-1.0, 1.0, (B, e.ldp.n_theta))
     sol = e.solve_batch(ths)
     assert np.mean(np.asarray(sol.status) == 1) > 0.99
+
+
+def test_frontier_f64_nodes_on_f32_engine():
+    """VERDICT r3 #2 wiring: a reduced-precision (f32/TPU-style) engine
+    must route m>64 hybrid frontiers through EMULATED-f64 Cholesky node
+    relaxations -- the f32 ridge (~100 m eps32) cannot resolve the
+    contact problem's massively dual-degenerate relaxations and every
+    lane returned an honest -1 before. Differential vs the f64 DFS."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    mpc, _ = lmpc.mpc_examples("invpend_contact", 4, 4)
+    mpc.setup(dtype=jnp.float32)
+    e = mpc.engine
+    assert e.use_frontier and not getattr(e, "frontier_pallas", False)
+    assert e.ldp.m > 64  # cholesky mode
+    rng = np.random.default_rng(3)
+    ths = rng.uniform(-0.3, 0.3, (4, e.ldp.n_theta))
+    sol_f = e.solve_batch(ths)
+
+    mpc64, _ = lmpc.mpc_examples("invpend_contact", 4, 4)
+    mpc64.setup()  # f64 engine
+    e64 = mpc64.engine
+    sol_d = e64._bnb_batched(e64.arrays, e64.arrays_hi, np.asarray(ths))
+    st_f = np.asarray(sol_f.status)
+    st_d = np.asarray(sol_d.status)
+    assert np.all(st_d == 1)
+    assert np.all(st_f == 1), st_f
+    assert np.max(np.abs(np.asarray(sol_f.fval) - np.asarray(sol_d.fval))) < 1e-6
+    assert np.max(np.abs(np.asarray(sol_f.U) - np.asarray(sol_d.U))) < 1e-5
