@@ -125,14 +125,6 @@ def certify(mpc, *, prange=None, AS0=(), iter_limit: int = 60,
             return True, probe[good[0]], (Ath, bth)
         return None, None, (Ath, bth)
 
-    def nonempty(Ath, bth, hint=None):
-        """Single emptiness check (probe fast path, then the host LP)."""
-        verdict, pt, (Ath, bth) = _prescreen(Ath, bth, hint)
-        if verdict is not None:
-            return verdict, pt
-        r, c = _chebyshev_radius(Ath, bth, lb, ub)
-        return (r > region_tol), c
-
     def nonempty_batch(cands):
         """Batched emptiness check of [(rows, rhs, hint), ...]: probe fast
         path per candidate, then ONE batched interior-point LP call

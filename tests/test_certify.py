@@ -49,10 +49,11 @@ def test_certified_bound_holds_on_samples():
     assert worst <= result.max_iterations
 
 
-@pytest.mark.slow
 def test_certify_invpend_full_range():
     """Complete certificate over the example's published range
-    (reference test/runtests.jl:199-204 asserts >100 regions)."""
+    (reference test/runtests.jl:199-204 asserts >100 regions).
+    Promoted from the slow set in round 4: the wave-batched oracle
+    brought it from minutes of host LPs to ~1 min."""
     mpc, rng = lmpc.mpc_examples("invpend")
     result = certify(mpc, prange=rng)
     assert not result.exhausted

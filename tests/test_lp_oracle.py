@@ -50,3 +50,30 @@ def test_explicit_oracle_paths_agree():
     sh = sorted(cr.active_set for cr in e_h.regions)
     assert sb == sh
     assert len(sb) > 50
+
+
+def test_numpy_ipm_matches_jitted():
+    """The NumPy twin (small-batch fast path) and the jitted IPM must
+    produce the same radii/centers on identical chunks."""
+    import jax
+    import jax.numpy as jnp
+
+    from linearmpc_tpu.ops.lp_ipm import _ipm_numpy, lp_ipm_batch
+
+    rng = np.random.default_rng(4)
+    B, m, n = 32, 12, 4
+    A = rng.normal(size=(B, m, n))
+    b = np.abs(rng.normal(size=(B, m))) + 0.5
+    # box rows keep every instance bounded (as production callers do --
+    # a random cone is often unbounded and the twins then diverge freely)
+    box = np.concatenate([np.eye(n), -np.eye(n)])
+    A = np.concatenate([A, np.broadcast_to(box, (B, 2 * n, n))], axis=1)
+    b = np.concatenate([b, np.full((B, 2 * n), 5.0)], axis=1)
+    c = rng.normal(size=(B, n))
+    x0 = np.zeros((B, n))  # strictly feasible: A@0 = 0 < b
+    xn, objn, gapn, rdn = _ipm_numpy(A, b, c, x0, 40)
+    xj, objj, gapj, rdj = lp_ipm_batch(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), jnp.asarray(x0),
+        n_iter=40)
+    assert np.max(np.abs(xn - np.asarray(xj))) < 1e-8
+    assert np.max(np.abs(objn - np.asarray(objj))) < 1e-8
