@@ -232,6 +232,50 @@ def test_ciu_second_chance_off_matches(monkeypatch):
     assert np.max(np.abs(np.asarray(sol_a.U)[ok] - np.asarray(sol_b.U)[ok])) < 1e-8
 
 
+def test_ciu_engine_infeasibility_verdicts(monkeypatch):
+    """Wide-box batch with a real mix of feasible and infeasible lanes:
+    every oracle-feasible lane must come back optimal (never a false -3
+    -- the round-4 probe caught the second-chance pass fabricating ~46
+    of them per 8192 before the improvement-gated merge), and every
+    oracle-certified-infeasible lane must come back -3 (a lane passing
+    the f64 KKT residual has an exhibited feasible point, so a false 1
+    is impossible by construction -- pin it anyway)."""
+    from scipy.optimize import linprog
+
+    monkeypatch.setenv("LINEARMPC_TPU_CIUPALLAS", "interpret")
+    mpc = _mpc_m48()
+    e = mpc.engine
+    ldp = e.ldp
+    thetas = _thetas(128, lo=16.0, seed=77)
+    sol = e.solve_batch(thetas)
+    st = np.asarray(sol.status)
+    # exact primal feasibility oracle (HiGHS): the normalized constraint
+    # rows in U-space are E_n = HinvET' H (hard rows only)
+    E_n = ldp.HinvET.T @ ldp.H
+    hard = ~ldp.is_immutable & ~ldp.is_soft
+
+    def feasible(theta):
+        du_t = ldp.du + ldp.Dth @ theta
+        dl_t = ldp.dl + ldp.Dth @ theta
+        A = np.vstack([E_n[hard], -E_n[hard]])
+        b = np.concatenate([du_t[hard], -dl_t[hard]])
+        keep = b < 1e19
+        res = linprog(np.zeros(E_n.shape[1]), A_ub=A[keep], b_ub=b[keep],
+                      bounds=[(None, None)] * E_n.shape[1], method="highs")
+        return res.status == 0
+    n_feas = n_inf = 0
+    for i in range(128):
+        _U, *_r, s_ref = solve_ldp_numpy(ldp, thetas[i])
+        if s_ref == 1:
+            n_feas += 1
+            assert st[i] == 1, (i, st[i])
+        elif st[i] == -3:
+            # every engine infeasibility verdict must be HiGHS-certified
+            n_inf += 1
+            assert not feasible(thetas[i]), i
+    assert n_feas >= 30 and n_inf >= 10  # the box really is mixed
+
+
 def test_ciu_fused_rollout_matches_xla(monkeypatch):
     """Fused compact rollout (warm SEL/Rw slot carry in the scan) must
     produce the same closed-loop controls as the solve_single path."""
