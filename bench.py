@@ -157,6 +157,42 @@ def main():
     except Exception as e:  # rollout bench is auxiliary
         log(f"rollout bench skipped: {e}")
 
+    # ---- move blocking (reference docs/src/manual/moveblock.md:79-83
+    # claims ~5-10x median solve-time reduction at Np=100 with blocks
+    # [1,1,5,10,10]): measure the batched-throughput ratio here
+    moveblock = {}
+    try:
+        mpc_mf, _ = lmpc.mpc_examples("invpend", 100, 100)
+        mpc_mf.setup(dtype=engine.dtype)
+        mpc_mb, _ = lmpc.mpc_examples("invpend", 100, 100)
+        mpc_mb.move_block([1, 1, 5, 10, 10])
+        mpc_mb.setup(dtype=engine.dtype)
+        B_m = 4096
+        ths_m = jnp.asarray(np.hstack([
+            rng.uniform(-10, 10, (B_m, 4)), rng.uniform(-10, 10, (B_m, 2)),
+            rng.uniform(-2, 2, (B_m, 1)),
+        ]), jnp.float64)
+        ths_m.block_until_ready()
+        rates = []
+        for e_m in (mpc_mf.engine, mpc_mb.engine):
+            sol_m = e_m.solve_batch(ths_m)
+            sol_m.U.block_until_ready()
+            best_m = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs_m = [e_m.solve_batch(ths_m) for _ in range(2)]
+                outs_m[-1].U.block_until_ready()
+                best_m = min(best_m, (time.perf_counter() - t0) / 2)
+            rates.append(B_m / best_m)
+        log(f"move blocking (invpend Np=100, blocks [1,1,5,10,10]): "
+            f"{rates[1]:,.0f} vs {rates[0]:,.0f} solves/s full -> "
+            f"{rates[1]/rates[0]:.1f}x (reference claims ~5-10x median "
+            f"solve-time reduction)")
+        moveblock = {"moveblock_speedup": round(rates[1] / rates[0], 2),
+                     "moveblock_solves_per_s": round(rates[1], 1)}
+    except Exception as ex:
+        log(f"move-blocking bench skipped: {ex}")
+
     # MFU / roofline accounting for the production bulk kernel
     try:
         from linearmpc_tpu.profiling import (
@@ -617,6 +653,7 @@ def main():
         "mean_batch_latency_s": per_batch,
         "single_solve_p99_s": lat_p99,
         **rollout_extra,
+        **moveblock,
         **largem,
         **compact,
         **offline,
