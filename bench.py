@@ -592,31 +592,55 @@ def main():
             # full-size colliding pendulum (m=250, 40 binaries): the
             # massively dual-degenerate regime, solved on-chip through
             # emulated-f64 Cholesky node relaxations (VERDICT r3 #2).
+            # Runs in a SUBPROCESS: an axon device fault in this large
+            # program must not poison the main bench's TPU client.
             # LINEARMPC_TPU_BENCH_CONTACT=0 skips (axon compile is long)
             if _os.environ.get("LINEARMPC_TPU_BENCH_CONTACT", "1") != "0":
-                mpc_k, _ = lmpc.mpc_examples("invpend_contact")
-                mpc_k.setup(dtype=engine.dtype)
-                e_k = mpc_k.engine
-                B_k = 64
-                ths_k = rng.uniform(-0.3, 0.3, (B_k, e_k.ldp.n_theta))
-                t0 = time.perf_counter()
-                sol_k = e_k.solve_batch(ths_k)
-                sol_k.U.block_until_ready()
-                t_compile_k = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                sol_k = e_k.solve_batch(ths_k)
-                sol_k.U.block_until_ready()
-                t_k = time.perf_counter() - t0
-                st_k = np.asarray(sol_k.status)
-                log(f"hybrid contact (invpend_contact m={e_k.ldp.m}, "
-                    f"{int(np.sum(e_k.ldp.is_binary))} binaries, f64-node "
-                    f"frontier): {B_k/t_k:,.1f} B&B solves/s, optimal "
-                    f"{np.mean(st_k == 1):.4f}, mean iters "
-                    f"{np.mean(np.asarray(sol_k.iters)):.0f} "
-                    f"(compile+first run {t_compile_k:.0f} s)")
-                hybrid["contact_m"] = int(e_k.ldp.m)
-                hybrid["contact_solves_per_s"] = round(B_k / t_k, 2)
-                hybrid["contact_optimal_frac"] = float(np.mean(st_k == 1))
+                import subprocess as _sp
+
+                _contact_src = (
+                    "import sys, time, json\n"
+                    "sys.path.insert(0, %r)\n"
+                    "import jax\n"
+                    "jax.config.update('jax_enable_x64', True)\n"
+                    "import numpy as np, jax.numpy as jnp\n"
+                    "import linearmpc_tpu as lmpc\n"
+                    "mpc, _ = lmpc.mpc_examples('invpend_contact')\n"
+                    "mpc.setup(dtype=jnp.float32)\n"
+                    "e = mpc.engine\n"
+                    "B = 64\n"
+                    "rng = np.random.default_rng(7)\n"
+                    "ths = rng.uniform(-0.3, 0.3, (B, e.ldp.n_theta))\n"
+                    "t0 = time.perf_counter()\n"
+                    "sol = e.solve_batch(ths); sol.U.block_until_ready()\n"
+                    "tc = time.perf_counter() - t0\n"
+                    "t0 = time.perf_counter()\n"
+                    "sol = e.solve_batch(ths); sol.U.block_until_ready()\n"
+                    "t = time.perf_counter() - t0\n"
+                    "st = np.asarray(sol.status)\n"
+                    "print(json.dumps({'m': int(e.ldp.m),\n"
+                    "  'nb': int(np.sum(np.asarray(e.ldp.is_binary))),\n"
+                    "  'sps': B / t, 'opt': float(np.mean(st == 1)),\n"
+                    "  'iters': float(np.mean(np.asarray(sol.iters))),\n"
+                    "  'tc': tc}))\n" % _repo_dir)
+                _cp = _sp.run([sys.executable, "-c", _contact_src],
+                              capture_output=True, text=True, timeout=2400)
+                _cline = [l for l in _cp.stdout.splitlines()
+                          if l.startswith("{")]
+                if _cp.returncode == 0 and _cline:
+                    _ck = json.loads(_cline[-1])
+                    log(f"hybrid contact (invpend_contact m={_ck['m']}, "
+                        f"{_ck['nb']} binaries, f64-node frontier, "
+                        f"subprocess): {_ck['sps']:,.1f} B&B solves/s, "
+                        f"optimal {_ck['opt']:.4f}, mean iters "
+                        f"{_ck['iters']:.0f} (compile+first {_ck['tc']:.0f} s)")
+                    hybrid["contact_m"] = _ck["m"]
+                    hybrid["contact_solves_per_s"] = round(_ck["sps"], 2)
+                    hybrid["contact_optimal_frac"] = _ck["opt"]
+                else:
+                    log(f"hybrid contact subprocess failed "
+                        f"(rc={_cp.returncode}): "
+                        f"{_cp.stderr.strip().splitlines()[-1] if _cp.stderr.strip() else 'no output'}")
     except Exception as ex:
         log(f"hybrid bench skipped: {ex}")
 

@@ -435,10 +435,26 @@ def create_objective(mpc, F, Phi, Gamma, C, w: MPCWeights, nu: int, nx: int) -> 
         ])
 
     # ==== binary-control regularization (does not change the minimizer) ====
+    # The reference uses the raw bound midpoint (src/mpc2mpqp.jl:510-512).
+    # With an INF-padded bound (set_input_bounds fills missing entries
+    # with +-1e30, matching src/setup.jl:42-43 -- the reference's own
+    # invpend_contact example leaves one binary's umin unset) the raw
+    # midpoint injects a +-5e29 linear cost, blowing the condensed
+    # problem's scale to ~1e29 (products ~1e59: fine in native f64, but
+    # past the ~3.4e38 range of the TPU's emulated f64, where it becomes
+    # NaN and poisons the B&B). Minimizer-neutrality of the +-(u-mid)^2/2
+    # term only requires the midpoint over bounds the optimizer can
+    # attain, and an INF-clamped bound can never be attained (every
+    # accepted incumbent must sit at a bound, and the B&B only ever pins
+    # the finite side) -- so pin the midpoint to the finite side(s).
     fbin_part = np.zeros(mpc.model.nu)
     if len(mpc.binary_controls):
         bc = np.asarray(mpc.binary_controls, dtype=int)
-        fbin_part[bc] = (mpc.umax[bc] + mpc.umin[bc]) / 2
+        lo_b, up_b = mpc.umin[bc], mpc.umax[bc]
+        lo_fin, up_fin = lo_b > -1e29, up_b < 1e29
+        lo_eff = np.where(lo_fin, lo_b, np.where(up_fin, up_b, 0.0))
+        up_eff = np.where(up_fin, up_b, np.where(lo_fin, lo_b, 0.0))
+        fbin_part[bc] = (up_eff + lo_eff) / 2
     fbin = np.tile(fbin_part, Nc)
     f -= fbin
     H += np.diag((fbin != 0).astype(np.float64))

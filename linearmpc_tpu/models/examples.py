@@ -312,7 +312,14 @@ def _build_invpend_contact(Np, Nc, *, settings=None, nwalls=2, mc=1.0, mp=1.0, l
     R = np.concatenate([[1.0], 1e-4 * np.ones(6)])
     Qf, _ = dare(mpc.model.F, mpc.model.G[:, 0:1], np.diag(R[:1]), np.diag(Q))
     mpc.set_objective(Q=Q, R=R, Rr=np.zeros(7), Qf=Qf)
-    mpc.set_bounds(umin=np.concatenate([[-1.0, 0], np.zeros(4)]),
+    # the reference writes umin = [-1.0; 0; zeros(4)] (src/mpc_examples.jl:
+    # 352) -- one entry SHORT for the 7 controls, so set_bounds pads the
+    # last binary's umin with -1e30. Its own hybrid tests never solve this
+    # example (runtests.jl:40 only condenses it), so the slip is latent
+    # there; solving with delta4 in {-1e30, 1} produces meaningless
+    # 1e18-scale "contact modes". The evident intent (delta1..delta3 are
+    # {0,1}) is a fourth {0,1} mode -- write the zero explicitly
+    mpc.set_bounds(umin=np.concatenate([[-1.0, 0], np.zeros(5)]),
                    umax=np.concatenate([[1.0, 1e30, 1e30], np.ones(4)]))
     mpc.set_binary_controls([3, 4, 5, 6])
     mpc.settings.reference_tracking = False

@@ -71,7 +71,13 @@ def solve_bnb_single(
 
     du_t = ldp.du + ldp.Dth @ theta
     dl_t = ldp.dl + ldp.Dth @ theta
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # finite sentinel, NOT finfo.max: the TPU's emulated f64 is a
+    # double-double of f32 pairs whose range tops out near f32's
+    # 3.4e38, so finfo(f64).max lands on the device as inf and turns
+    # sentinel arithmetic into inf/NaN (inf < inf incumbent tests,
+    # 0 * inf masks). 1e30 dominates every reachable fval/bound in
+    # both f32 and f64 and stays finite under the emulation
+    big = jnp.asarray(min(float(jnp.finfo(dtype).max), 1e30), dtype)
 
     def body(s: BnBState) -> BnBState:
         # pop the top node

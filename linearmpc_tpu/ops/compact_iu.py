@@ -91,7 +91,13 @@ def _active_set_loop_ciu(
     m = ldp.G.shape[0]
     idx = jnp.arange(m)
     sidx = jnp.arange(s_max)
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # finite sentinel, NOT finfo.max: the TPU's emulated f64 is a
+    # double-double of f32 pairs whose range tops out near f32's
+    # 3.4e38, so finfo(f64).max lands on the device as inf and turns
+    # sentinel arithmetic into inf/NaN (inf < inf incumbent tests,
+    # 0 * inf masks). 1e30 dominates every reachable fval/bound in
+    # both f32 and f64 and stays finite under the emulation
+    big = jnp.asarray(min(float(jnp.finfo(dtype).max), 1e30), dtype)
     eps = jnp.finfo(dtype).eps
     Gs = ldp.G_solve + (4.0 * eps) * jnp.eye(m, dtype=dtype)
 

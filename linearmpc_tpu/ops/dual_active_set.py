@@ -144,7 +144,13 @@ def _active_set_loop(
     dtype = ldp.G.dtype
     m = ldp.G.shape[0]
     idx = jnp.arange(m)
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # finite sentinel, NOT finfo.max: the TPU's emulated f64 is a
+    # double-double of f32 pairs whose range tops out near f32's
+    # 3.4e38, so finfo(f64).max lands on the device as inf and turns
+    # sentinel arithmetic into inf/NaN (inf < inf incumbent tests,
+    # 0 * inf masks). 1e30 dominates every reachable fval/bound in
+    # both f32 and f64 and stays finite under the emulation
+    big = jnp.asarray(min(float(jnp.finfo(dtype).max), 1e30), dtype)
     pow2 = jnp.asarray(2 ** np.arange(m), dtype=jnp.int32) if ldp.subset_inv is not None else None
 
     def body(s: DualState) -> DualState:
@@ -280,7 +286,13 @@ def _active_set_loop_iu(
     dtype = ldp.G.dtype
     m = ldp.G.shape[0]
     idx = jnp.arange(m)
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # finite sentinel, NOT finfo.max: the TPU's emulated f64 is a
+    # double-double of f32 pairs whose range tops out near f32's
+    # 3.4e38, so finfo(f64).max lands on the device as inf and turns
+    # sentinel arithmetic into inf/NaN (inf < inf incumbent tests,
+    # 0 * inf masks). 1e30 dominates every reachable fval/bound in
+    # both f32 and f64 and stays finite under the emulation
+    big = jnp.asarray(min(float(jnp.finfo(dtype).max), 1e30), dtype)
     eps = jnp.finfo(dtype).eps
     # a whisper of ridge only: the GI gamma-guard handles degeneracy
     # structurally, and a large ridge (the masked-Cholesky path's

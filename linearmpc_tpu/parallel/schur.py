@@ -101,7 +101,10 @@ def make_mp_batch_solver(
     # row-sharded Gram blocks: (m, m) split along rows over mp
     Gs_sh = jax.device_put(cast(Gs), NamedSharding(mesh, P("mp", None)))
     Gp_sh = jax.device_put(cast(G_plain), NamedSharding(mesh, P("mp", None)))
-    big = jnp.asarray(np.finfo(np.float64).max if dtype == jnp.float64 else 3e38, dtype)
+    # finite sentinel, NOT finfo(f64).max: the TPU's emulated f64 tops out
+    # near f32's 3.4e38 range, so finfo(f64).max lands on-device as inf
+    # and poisons sentinel arithmetic (see ops/dual_active_set.py)
+    big = jnp.asarray(1e30, dtype)
 
     def mp_matvec(G_local, x, act=None):
         """y = M x with M = act G act' + diag(1-act) (or plain G when
