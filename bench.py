@@ -608,7 +608,7 @@ def main():
                     "mpc, _ = lmpc.mpc_examples('invpend_contact')\n"
                     "mpc.setup(dtype=jnp.float32)\n"
                     "e = mpc.engine\n"
-                    "B = 64\n"
+                    "B = 16\n"
                     "rng = np.random.default_rng(7)\n"
                     "ths = rng.uniform(-0.3, 0.3, (B, e.ldp.n_theta))\n"
                     "t0 = time.perf_counter()\n"
@@ -630,8 +630,8 @@ def main():
                 if _cp.returncode == 0 and _cline:
                     _ck = json.loads(_cline[-1])
                     log(f"hybrid contact (invpend_contact m={_ck['m']}, "
-                        f"{_ck['nb']} binaries, f64-node frontier, "
-                        f"subprocess): {_ck['sps']:,.1f} B&B solves/s, "
+                        f"{_ck['nb']} binaries, host-chunked f64 "
+                        f"frontier, subprocess): {_ck['sps']:,.2f} B&B solves/s, "
                         f"optimal {_ck['opt']:.4f}, mean iters "
                         f"{_ck['iters']:.0f} (compile+first {_ck['tc']:.0f} s)")
                     hybrid["contact_m"] = _ck["m"]

@@ -792,3 +792,352 @@ def _refined_polish(arrays: LDPArrays, hi: LDPArrays, thetas, act, side,
                        jnp.int32(1), jnp.int32(-1))
     B = thetas.shape[0]
     return Solution(U, lam, act, side, fval, jnp.zeros(B, jnp.int32), status)
+
+
+# ---------------------------------------------------------------------------
+# Host-driven chunked frontier: bounded device programs for runtimes that
+# kill long-running programs.
+# ---------------------------------------------------------------------------
+
+
+class ChunkState(NamedTuple):
+    """Chunked-frontier state: the CURRENT node's relaxation lives across
+    rounds (batch-major, engine dtype), so each device program is a
+    bounded K-iteration slice instead of a full tree search."""
+
+    stack_fixed: jax.Array  # (B, cap, m) bool
+    stack_side: jax.Array   # (B, cap, m) bool
+    stack_lam: jax.Array    # (B, cap, m)
+    stack_act: jax.Array    # (B, cap, m) bool
+    stack_ws: jax.Array     # (B, cap, m) bool
+    stack_bound: jax.Array  # (B, cap)
+    top: jax.Array          # (B,) int32
+    cur_fixed: jax.Array    # (B, m) bool: current node's fixed binaries
+    cur_fside: jax.Array    # (B, m) bool
+    lam: jax.Array          # (B, m) current relaxation state
+    act: jax.Array          # (B, m) bool
+    side: jax.Array         # (B, m) bool
+    node_iter: jax.Array    # (B,) int32
+    active_node: jax.Array  # (B,) bool
+    inc_fval: jax.Array
+    inc_lam: jax.Array
+    inc_active: jax.Array
+    inc_side: jax.Array
+    inc_found: jax.Array
+    nodes: jax.Array
+    iters: jax.Array
+    exhausted: jax.Array
+
+
+def make_frontier_rounds(
+    arrays: LDPArrays,
+    arrays_hi: LDPArrays | None,
+    *,
+    stack_cap: int = 64,
+    node_limit: int = 1024,
+    node_cap: int = 512,
+    k_chunk: int = 16,
+    bin_tol: float = 1e-6,
+    primal_tol: float = 1e-6,
+    sign_tol: float = 1e-11,
+    use_cholesky: bool = True,
+    poll_every: int = 1,
+    fast_nodes: bool = True,
+) -> Callable:
+    """Build a host-driven chunked-frontier solver (masked-Cholesky node
+    relaxations at the arrays' dtype -- the emulated-f64 path for
+    reduced-precision engines on TPU).
+
+    ``solve_bnb_frontier`` runs the whole tree search as ONE device
+    program: an outer ``while_loop`` over node rounds, each round a full
+    node relaxation (itself up to ``node_cap`` masked-Cholesky
+    iterations). On the axon TPU runtime, long-running device programs
+    are killed (observed as ``UNAVAILABLE: TPU device error`` a couple of
+    minutes in) -- an honest invpend_contact tree needs thousands of
+    emulated-f64 Cholesky iterations and cannot fit one program.
+
+    Here the tree search is restructured as a HOST loop of bounded
+    device programs: the current node's relaxation state (multipliers,
+    working set, side labels) is part of the carried state, each program
+    advances every lane by at most ``k_chunk`` relaxation iterations and
+    then runs the branch/prune/incumbent management for lanes whose node
+    just converged. Enqueueing is cheap (~50 us under the tunnel) and the
+    device runs programs back-to-back; the host blocks only on the
+    ``any_active`` scalar every ``poll_every`` rounds, so tunnel latency
+    (~25 ms per blocking fetch) amortizes over the K Cholesky iterations
+    of real work per program.
+
+    B&B semantics match ``solve_bnb_frontier`` (pop-per-round DFS, warm
+    children, bound pruning at pop AND at convergence, done-but-
+    infeasible nodes routed to the unconverged/exhausted path, f64
+    incumbent polish)."""
+    from .dual_active_set import _active_set_loop, _primal_feasible
+
+    dtype = arrays.G.dtype
+    m = arrays.G.shape[0]
+    big = jnp.asarray(min(float(jnp.finfo(dtype).max), 1e30), dtype)
+    is_bin = arrays.is_binary
+    is_eq = arrays.is_eq
+    immut = arrays.is_immutable
+    up_f, lo_f = arrays.up_finite, arrays.lo_finite
+
+    def prune_tops(top, inc_found, inc_fval, stack_bound):
+        def top_bound(t):
+            i = jnp.maximum(t - 1, 0)
+            return jnp.take_along_axis(stack_bound, i[:, None], axis=1)[:, 0]
+
+        def cond(t):
+            return jnp.any((t > 0) & inc_found & (top_bound(t) >= inc_fval))
+
+        def body(t):
+            prunable = (t > 0) & inc_found & (top_bound(t) >= inc_fval)
+            return t - prunable.astype(jnp.int32)
+
+        return jax.lax.while_loop(cond, body, top)
+
+    def step(s: ChunkState, du_t, dl_t, U0, f_t):
+        B = du_t.shape[0]
+        bidx = jnp.arange(B)
+
+        # ---- pop a node for idle lanes (bound-prune stale tops first)
+        top = prune_tops(s.top, s.inc_found, s.inc_fval, s.stack_bound)
+        can_pop = (~s.active_node) & (top > 0) & (s.nodes < node_limit)
+        pidx = jnp.maximum(top - 1, 0)
+        gat = lambda st: jnp.take_along_axis(st, pidx[:, None, None], axis=1)[:, 0]
+        pop_fixed = gat(s.stack_fixed)
+        pop_fside = gat(s.stack_side)
+        pop_lam = gat(s.stack_lam)
+        pop_act = gat(s.stack_act)
+        pop_ws = gat(s.stack_ws)
+        top = top - can_pop.astype(jnp.int32)
+        nodes = s.nodes + can_pop.astype(jnp.int32)
+        cp = can_pop[:, None]
+        cur_fixed = jnp.where(cp, pop_fixed, s.cur_fixed)
+        cur_fside = jnp.where(cp, pop_fside, s.cur_fside)
+        eq_lane = is_eq[None, :] | cur_fixed
+        lam = jnp.where(cp, pop_lam, s.lam)
+        act = jnp.where(cp, pop_act | (is_eq[None, :] | pop_fixed), s.act)
+        side = jnp.where(cp, jnp.where(pop_fixed, pop_fside, pop_ws), s.side)
+        node_iter = jnp.where(can_pop, 0, s.node_iter)
+        active = s.active_node | can_pop
+
+        # ---- node bounds from the fixed set
+        d_f = jnp.where(cur_fside, du_t, dl_t)
+        du_n = jnp.where(cur_fixed, d_f, du_t)
+        dl_n = jnp.where(cur_fixed, d_f, dl_t)
+
+        # ---- at most k_chunk relaxation iterations for active lanes
+        # (idle lanes enter with iters0 = k_chunk, so the batched
+        # while_loop's per-lane select freezes them)
+        it0 = jnp.where(active, 0, k_chunk).astype(jnp.int32)
+
+        if fast_nodes:
+            # seed the round with ONE real factorization of each lane's
+            # entry working set; the K iterations inside then maintain
+            # the ridged masked inverse by Woodbury + Newton-Schulz
+            # (matmul-shaped -- the emulated-f64 cholesky's O(m)
+            # sequential panels cost ~50 ms per iteration on the TPU and
+            # dominated the chunked frontier's wall time)
+            from jax.scipy.linalg import cho_solve
+
+            from .dual_active_set import _active_set_loop_wu
+
+            eps_d = jnp.finfo(dtype).eps
+            Gsr = arrays.G_solve + (100.0 * m * eps_d) * jnp.eye(m, dtype=dtype)
+            eye_m = jnp.eye(m, dtype=dtype)
+
+            def seed_R(a0):
+                af = a0.astype(dtype)
+                M0 = Gsr * af[:, None] * af[None, :] + jnp.diag(1.0 - af)
+                L = jnp.linalg.cholesky(M0)
+                R0 = cho_solve((L, True), eye_m)
+                for _ in range(2):
+                    MR = jnp.dot(M0, R0, precision=PREC)
+                    R0 = jnp.dot(R0, 2.0 * eye_m - MR, precision=PREC)
+                return R0
+
+            R0b = jax.vmap(seed_R)(act)
+
+            def one(dut, dlt, eql, l0, a0, s0, r0, i0):
+                return _active_set_loop_wu(
+                    arrays, dut, dlt, eql, immut, l0, a0, s0, r0,
+                    max_iter=k_chunk, primal_tol=primal_tol,
+                    sign_tol=sign_tol, iters0=i0)
+
+            st = jax.vmap(one)(du_n, dl_n, eq_lane, lam, act, side, R0b, it0)
+        else:
+            def one(dut, dlt, eql, l0, a0, s0, i0):
+                return _active_set_loop(
+                    arrays, dut, dlt, eql, immut, l0, a0, s0,
+                    max_iter=k_chunk, primal_tol=primal_tol,
+                    sign_tol=sign_tol,
+                    use_cholesky=use_cholesky, iters0=i0)
+
+            st = jax.vmap(one)(du_n, dl_n, eq_lane, lam, act, side, it0)
+        stepped = jnp.maximum(st.iters - it0, 0)
+        lam = jnp.where(active[:, None], st.lam, lam)
+        act = jnp.where(active[:, None], st.active, act)
+        side = jnp.where(active[:, None], st.side, side)
+        node_iter = node_iter + stepped
+        iters = s.iters + jnp.where(active, stepped, 0)
+        done_k = active & st.done
+
+        feas = jax.vmap(
+            lambda dut, dlt, l, a, sd: _primal_feasible(
+                arrays, dut, dlt, l, a, sd, primal_tol)
+        )(du_n, dl_n, lam, act, side)
+        conv = done_k & feas
+        # done-but-infeasible is routed to the unconverged path (ADVICE
+        # r3 #1): prune, mark the certificate incomplete, never claim -2
+        nfail = (done_k & ~feas) | (active & ~st.done & (node_iter >= node_cap))
+
+        # ---- management for converged nodes
+        U = U0 - jnp.dot(lam.astype(dtype), arrays.HinvET.T, precision=PREC)
+        fval = (0.5 * jnp.einsum("bi,ij,bj->b", U, arrays.H, U, precision=PREC)
+                + jnp.sum(f_t * U, axis=1))
+        pruned_conv = conv & s.inc_found & (fval >= s.inc_fval)
+
+        c = jnp.dot(lam.astype(dtype), arrays.G.T, precision=PREC)
+        slack_up = jnp.where(up_f[None, :], du_t + c, big)
+        slack_lo = jnp.where(lo_f[None, :], -dl_t - c, big)
+        frac = jnp.minimum(slack_up, slack_lo)
+        branchable = (is_bin[None, :] & ~cur_fixed & ~immut[None, :]
+                      & (up_f | lo_f)[None, :])
+        frac = jnp.where(branchable, frac, -big)
+        jb = jnp.argmax(frac, axis=1)
+        frac_jb = jnp.take_along_axis(frac, jb[:, None], axis=1)[:, 0]
+        integral = frac_jb <= bin_tol
+
+        better = conv & integral & (~pruned_conv) & (fval < s.inc_fval)
+        bt = better[:, None]
+        inc_fval = jnp.where(better, fval, s.inc_fval)
+        inc_lam = jnp.where(bt, lam, s.inc_lam)
+        inc_active = jnp.where(bt, act | cur_fixed, s.inc_active)
+        inc_side = jnp.where(bt, jnp.where(cur_fixed, cur_fside, side),
+                             s.inc_side)
+        inc_found = s.inc_found | better
+
+        # ---- branch: push the far child (parent-warm), continue the
+        # near child in place
+        branch = conv & (~pruned_conv) & (~integral)
+        onehot = jnp.arange(m)[None, :] == jb[:, None]
+        child_fixed = cur_fixed | onehot
+        su_jb = jnp.take_along_axis(slack_up, jb[:, None], axis=1)[:, 0]
+        sl_jb = jnp.take_along_axis(slack_lo, jb[:, None], axis=1)[:, 0]
+        near_up = (su_jb <= sl_jb)[:, None]
+        far_side = jnp.where(onehot, ~near_up, cur_fside)
+        far_viable = jnp.where(near_up[:, 0], lo_f[jb], up_f[jb])
+        w_side_far = jnp.where(onehot, ~near_up, side)
+
+        do_push = branch & far_viable & (top < stack_cap)
+        ix = jnp.minimum(top, stack_cap - 1)
+        dom = do_push[:, None]
+        put = lambda A, v: A.at[bidx, ix].set(jnp.where(dom, v, A[bidx, ix]))
+        stack_fixed = put(s.stack_fixed, child_fixed)
+        stack_side = put(s.stack_side, far_side)
+        stack_lam = put(s.stack_lam, lam)
+        stack_act = put(s.stack_act, act)
+        stack_ws = put(s.stack_ws, w_side_far)
+        stack_bound = s.stack_bound.at[bidx, ix].set(
+            jnp.where(do_push, fval, s.stack_bound[bidx, ix]))
+        top = top + do_push.astype(jnp.int32)
+
+        bm = branch[:, None]
+        cur_fixed = jnp.where(bm, child_fixed, cur_fixed)
+        cur_fside = jnp.where(bm & onehot, near_up, cur_fside)
+        # the near child's fixed row joins the working set at its bound
+        act = jnp.where(bm & onehot, True, act)
+        side = jnp.where(bm & onehot, near_up, side)
+        nodes = nodes + branch.astype(jnp.int32)
+        node_iter = jnp.where(branch, 0, node_iter)
+
+        finished = (conv & (integral | pruned_conv)) | nfail
+        active = (active & ~finished) | branch
+        exhausted = s.exhausted | nfail
+
+        new = ChunkState(
+            stack_fixed, stack_side, stack_lam, stack_act, stack_ws,
+            stack_bound, top, cur_fixed, cur_fside, lam, act, side,
+            node_iter, active, inc_fval, inc_lam, inc_active, inc_side,
+            inc_found, nodes, iters, exhausted,
+        )
+        any_active = jnp.any(active | ((top > 0) & (nodes < node_limit)))
+        return new, any_active
+
+    step_jit = jax.jit(step, donate_argnums=0)
+
+    def finalize(thetas, s: ChunkState):
+        B = thetas.shape[0]
+        n = arrays.u_off.shape[0]
+        status = jnp.where(
+            s.inc_found, jnp.int32(1),
+            jnp.where(s.exhausted | (s.nodes >= node_limit),
+                      jnp.int32(-1), jnp.int32(-2)))
+        hi = arrays if arrays_hi is None else arrays_hi
+        sol = jax.vmap(
+            lambda t, a, sd: polish_solution(hi, t, a, sd,
+                                             use_cholesky=use_cholesky)
+        )(thetas, s.inc_active, s.inc_side)
+        zero_U = jnp.zeros((B, n), sol.U.dtype)
+        fm = s.inc_found[:, None]
+        return Solution(
+            jnp.where(fm, sol.U, zero_U),
+            jnp.where(fm, sol.lam, jnp.zeros((B, m), sol.lam.dtype)),
+            s.inc_active, s.inc_side,
+            jnp.where(s.inc_found, sol.fval, big),
+            s.iters, status,
+        )
+
+    finalize_jit = jax.jit(finalize)
+
+    @jax.jit
+    def prep(thetas):
+        th = thetas.astype(dtype)
+        du_t = arrays.du + jnp.dot(th, arrays.Dth.T, precision=PREC)
+        dl_t = arrays.dl + jnp.dot(th, arrays.Dth.T, precision=PREC)
+        U0 = arrays.u_off + jnp.dot(th, arrays.Uth_off.T, precision=PREC)
+        f_t = arrays.f + jnp.dot(th, arrays.f_theta.T, precision=PREC)
+        return du_t, dl_t, U0, f_t
+
+    def solve(thetas, max_rounds: int | None = None):
+        thetas = jnp.asarray(thetas)
+        B = thetas.shape[0]
+        du_t, dl_t, U0, f_t = prep(thetas)
+        s = ChunkState(
+            stack_fixed=jnp.zeros((B, stack_cap, m), bool),
+            stack_side=jnp.zeros((B, stack_cap, m), bool),
+            stack_lam=jnp.zeros((B, stack_cap, m), dtype),
+            stack_act=jnp.zeros((B, stack_cap, m), bool),
+            stack_ws=jnp.ones((B, stack_cap, m), bool),
+            stack_bound=jnp.full((B, stack_cap), -big, dtype),
+            top=jnp.zeros(B, jnp.int32),
+            cur_fixed=jnp.zeros((B, m), bool),
+            cur_fside=jnp.zeros((B, m), bool),
+            lam=jnp.zeros((B, m), dtype),
+            act=jnp.broadcast_to(is_eq, (B, m)),
+            side=jnp.ones((B, m), bool),
+            node_iter=jnp.zeros(B, jnp.int32),
+            active_node=jnp.ones(B, bool),  # the root node
+            inc_fval=jnp.full(B, big, dtype),
+            inc_lam=jnp.zeros((B, m), dtype),
+            inc_active=jnp.zeros((B, m), bool),
+            inc_side=jnp.zeros((B, m), bool),
+            inc_found=jnp.zeros(B, bool),
+            nodes=jnp.ones(B, jnp.int32),
+            iters=jnp.zeros(B, jnp.int32),
+            exhausted=jnp.zeros(B, bool),
+        )
+        # ceiling: every node can burn node_cap iterations in k_chunk slices
+        cap_rounds = max_rounds or (
+            node_limit * ((node_cap + k_chunk - 1) // k_chunk) + 8)
+        r = 0
+        while r < cap_rounds:
+            budget = min(poll_every, cap_rounds - r)
+            for _ in range(budget):
+                s, any_active = step_jit(s, du_t, dl_t, U0, f_t)
+            r += budget
+            if not bool(any_active):  # blocks; ~25 ms under the tunnel
+                break
+        return finalize_jit(thetas, s)
+
+    return solve

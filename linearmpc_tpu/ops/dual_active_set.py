@@ -242,6 +242,145 @@ def _masked_inverse(Gmask, use_cholesky: bool = True):
         return jnp.linalg.solve(Gmask, eye)
 
 
+def _active_set_loop_wu(
+    ldp: LDPArrays,
+    du_t, dl_t, is_eq, immut,
+    lam, active, side,
+    R0,
+    *,
+    max_iter: int,
+    primal_tol: float,
+    sign_tol: float,
+    iters0=None,
+):
+    """The masked-Cholesky-SCHEME iteration (jump to the working-set
+    minimizer, blocking step on sign violations, add the most violated
+    row) with the ridged masked inverse maintained by rank-2 Woodbury
+    updates + one Newton-Schulz pass per iteration instead of a fresh
+    factorization per iteration.
+
+    Rationale: the scheme of ``_active_set_loop`` is the only one that
+    converges on the contact problem's degenerate node relaxations (the
+    GI candidate/pending scheme of ``_active_set_loop_iu`` cycles there
+    even in f64), but its per-iteration ``cholesky`` lowers to O(m)
+    SEQUENTIAL panels -- ~50 ms per iteration under the TPU's emulated
+    f64 regardless of batch, which made honest hybrid trees (thousands
+    of node iterations) cost minutes. Woodbury + Newton-Schulz are pure
+    matmuls: MXU-shaped, microseconds at these sizes. The caller seeds
+    ``R0`` with a real factorization of the entry working set (one per
+    chunked round), bounding NS drift to the chunk length; iterating the
+    RIDGED system (100 m eps, as ``_masked_solve``) keeps every
+    intermediate SPD so the update stays defined on degenerate sets.
+    Differential-tested against the refactorizing loop
+    (tests/test_hybrid.py::test_frontier_rounds_fast_nodes)."""
+    dtype = ldp.G.dtype
+    m = ldp.G.shape[0]
+    idx = jnp.arange(m)
+    # finite sentinel (see _active_set_loop)
+    big = jnp.asarray(min(float(jnp.finfo(dtype).max), 1e30), dtype)
+    eps = jnp.finfo(dtype).eps
+    ridge = 100.0 * m * eps
+    Gs = ldp.G_solve + ridge * jnp.eye(m, dtype=dtype)
+    eye = jnp.eye(m, dtype=dtype)
+    PREC = jax.lax.Precision.HIGHEST  # TPU default matmul is bf16
+
+    def body(s):
+        (lam, act, side, it, done, infeas), R = s
+        actf = act.astype(dtype)
+        d_side = jnp.where(side, du_t, dl_t)
+        rhs = -actf * d_side
+        # R carries NS-bounded drift; two O(m^2) iterative-refinement
+        # steps square it away from the jump target, whose accuracy the
+        # tight sign test (sign_tol ~ 1e-11) depends on -- without them
+        # spurious sign violations double the iteration count
+        M_cur = Gs * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
+        lam_star = jnp.dot(R, rhs, precision=PREC)
+        for _ in range(2):
+            res = rhs - jnp.dot(M_cur, lam_star, precision=PREC)
+            lam_star = lam_star + jnp.dot(R, res, precision=PREC)
+
+        sign_viol = act & ~is_eq & jnp.where(
+            side, lam_star < -sign_tol, lam_star > sign_tol)
+        has_viol = jnp.any(sign_viol)
+
+        # blocking step toward lam_star; drop the first zero crossing
+        denom = lam - lam_star
+        safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        alpha_i = jnp.where(sign_viol, lam / safe, big)
+        jb = jnp.argmin(alpha_i)
+        alpha = jnp.clip(alpha_i[jb], 0.0, 1.0)
+        lam_B = lam + alpha * (lam_star - lam)
+        lam_B = jnp.where(idx == jb, 0.0, lam_B)
+        act_B = act & (idx != jb)
+
+        # acceptance step: take lam_star, add the most violated row
+        c = jnp.dot(ldp.G, lam_star, precision=PREC)
+        cand = ~act & ~immut
+        v_up = jnp.where(cand, -(du_t + c), -big)
+        v_lo = jnp.where(cand, dl_t + c, -big)
+        v = jnp.maximum(v_up, v_lo)
+        j = jnp.argmax(v)
+        converged = v[j] <= primal_tol
+        grow = (idx == j) & ~converged
+        act_A = act | grow
+        side_A = jnp.where(grow, v_up[j] >= v_lo[j], side)
+        lam_A = jnp.where(act_A, lam_star, 0.0)
+
+        new_lam = jnp.where(has_viol, lam_B, lam_A)
+        new_act = jnp.where(has_viol, act_B, act_A)
+        new_side = jnp.where(has_viol, side, side_A)
+        new_done = done | (~has_viol & converged)
+        changed = (has_viol | ~converged) & ~done
+
+        # rank-2 Woodbury update of the ridged masked inverse for the one
+        # changed row (the update math mirrors _active_set_loop_iu)
+        is_rem = has_viol
+        ch = jnp.where(has_viol, jb, j)
+        vcol = jnp.where(new_act & (idx != ch), Gs[:, ch], jnp.zeros((), dtype))
+        gjj = Gs[ch, ch]
+        Re = R[:, ch]
+        Rv = jnp.dot(R, vcol, precision=PREC)
+        a11 = Re[ch]
+        a12 = Rv[ch]
+        a21 = jnp.dot(vcol, Re, precision=PREC)
+        a22 = jnp.dot(vcol, Rv, precision=PREC)
+        S00 = jnp.where(is_rem, -a11, a11)
+        S01 = jnp.where(is_rem, 1.0 - a12, 1.0 + a12)
+        S10 = jnp.where(is_rem, 1.0 - a21, 1.0 + a21)
+        S11 = jnp.where(is_rem, (1.0 - gjj) - a22, (1.0 - gjj) + a22)
+        det = S00 * S11 - S01 * S10
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+        t0 = (S11 * Re - S10 * Rv) / det
+        t1 = (-S01 * Re + S00 * Rv) / det
+        upd = jnp.outer(t0, Re) + jnp.outer(t1, Rv)
+        R_new = jnp.where(is_rem, R + upd, R - upd)
+        R_new = jnp.where(changed, R_new, R)
+
+        # one Newton-Schulz pass absorbs the update's rounding against the
+        # NEW masked system: R <- R (2I - M R); pure matmuls (MXU)
+        nactf = new_act.astype(dtype)
+        M_new = Gs * nactf[:, None] * nactf[None, :] + jnp.diag(1.0 - nactf)
+        MR = jnp.dot(M_new, R_new, precision=PREC)
+        R_ns = jnp.dot(R_new, 2.0 * eye - MR, precision=PREC)
+        R = jnp.where(changed, R_ns, R)
+
+        lam = jnp.where(done, lam, new_lam)
+        act = jnp.where(done, act, new_act)
+        side = jnp.where(done, side, new_side)
+        return (DualState(lam, act, side, it + jnp.int32(~done), new_done,
+                          s[0].infeas), R)
+
+    def cond(s):
+        st, _R = s
+        return (~st.done) & (st.iters < max_iter)
+
+    it0 = jnp.int32(0) if iters0 is None else iters0
+    init = (DualState(lam, active, side, it0, jnp.asarray(False),
+                      jnp.asarray(False)), R0)
+    final, _R = jax.lax.while_loop(cond, body, init)
+    return final
+
+
 def _active_set_loop_iu(
     ldp: LDPArrays,
     du_t, dl_t, is_eq, immut,

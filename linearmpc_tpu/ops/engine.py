@@ -1272,16 +1272,42 @@ class SolverEngine:
                         fr_arrays = self.arrays_hi
                         fr_tols = dict(primal_tol=min(self.primal_tol, 1e-6),
                                        sign_tol=1e-11)
-                    fr_relax = make_xla_relax(
-                        fr_arrays, max_iter=node_cap, mode=fr_mode,
-                        **fr_tols)
-                    self._frontier_batched = jax.jit(
-                        lambda arrays, hi, ths: solve_bnb_frontier(
-                            fr_arrays, hi, ths, fr_relax, stack_cap=stack_cap,
+                    if (fr_mode == "cholesky"
+                            and jax.default_backend() != "cpu"):
+                        # host-driven chunked frontier: the monolithic
+                        # while_loop program gets KILLED by the axon
+                        # runtime a couple of minutes in (UNAVAILABLE
+                        # device error) -- an honest contact tree needs
+                        # thousands of emulated-f64 Cholesky iterations.
+                        # Bounded K-iteration device programs enqueued
+                        # back-to-back survive; CPU differential test
+                        # pins bit-identical solutions
+                        from .bnb_frontier import make_frontier_rounds
+
+                        _k_chunk = int(_os_b.environ.get(
+                            "LINEARMPC_TPU_BNB_CHUNK", "24"))
+                        _poll = int(_os_b.environ.get(
+                            "LINEARMPC_TPU_BNB_POLL", "4"))
+                        _rounds_solve = make_frontier_rounds(
+                            fr_arrays, self.arrays_hi, stack_cap=stack_cap,
                             node_limit=self.bnb_node_limit,
-                            use_cholesky=self.symmetric, warm_nodes=True,
+                            node_cap=node_cap, k_chunk=_k_chunk,
+                            use_cholesky=self.symmetric,
+                            poll_every=_poll, **fr_tols)
+                        self._frontier_batched = (
+                            lambda arrays, hi, ths: _rounds_solve(ths))
+                    else:
+                        fr_relax = make_xla_relax(
+                            fr_arrays, max_iter=node_cap, mode=fr_mode,
+                            **fr_tols)
+                        self._frontier_batched = jax.jit(
+                            lambda arrays, hi, ths: solve_bnb_frontier(
+                                fr_arrays, hi, ths, fr_relax,
+                                stack_cap=stack_cap,
+                                node_limit=self.bnb_node_limit,
+                                use_cholesky=self.symmetric, warm_nodes=True,
+                            )
                         )
-                    )
 
     # -- model parallelism: route batched solves through the mp-Schur
     # sharded solver (parallel/schur.py) when a device mesh is attached

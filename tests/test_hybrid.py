@@ -383,3 +383,45 @@ def test_frontier_f64_nodes_on_f32_engine():
     assert np.all(st_f == 1), st_f
     assert np.max(np.abs(np.asarray(sol_f.fval) - np.asarray(sol_d.fval))) < 1e-6
     assert np.max(np.abs(np.asarray(sol_f.U) - np.asarray(sol_d.U))) < 1e-5
+
+
+def test_frontier_rounds_matches_monolithic():
+    """The host-driven chunked frontier (bounded K-iteration device
+    programs, the TPU path for cholesky-mode hybrid trees -- the axon
+    runtime kills the monolithic while_loop program minutes in) must
+    reproduce the monolithic frontier's solutions bit-for-bit on CPU."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linearmpc_tpu.ops.bnb_frontier import make_frontier_rounds
+
+    mpc, _ = lmpc.mpc_examples("invpend_contact", 4, 4)
+    mpc.setup()  # f64 CPU engine -> monolithic frontier
+    e = mpc.engine
+    rng = np.random.default_rng(3)
+    ths = rng.uniform(-0.3, 0.3, (8, e.ldp.n_theta))
+    sol_mono = e.solve_batch(ths)
+
+    kw = dict(stack_cap=34, node_limit=e.bnb_node_limit,
+              node_cap=2 * e.ldp.m + 24, k_chunk=16, poll_every=4)
+    sol_ch = make_frontier_rounds(
+        e.arrays, e.arrays_hi, fast_nodes=False, **kw)(ths)
+    assert np.all(np.asarray(sol_mono.status) == 1)
+    assert np.array_equal(np.asarray(sol_ch.status), np.asarray(sol_mono.status))
+    assert np.array_equal(np.asarray(sol_ch.fval), np.asarray(sol_mono.fval))
+    assert np.array_equal(np.asarray(sol_ch.U), np.asarray(sol_mono.U))
+
+    # fast_nodes (Woodbury + Newton-Schulz maintained inverse, the TPU
+    # default): near-ties in this massively degenerate tree may resolve
+    # in a different node ORDER, but every incumbent must be the same
+    # optimum. Two lanes only: the NS matmuls that are ~free on the
+    # TPU's MXU dominate CPU wall time
+    sol_wu = make_frontier_rounds(
+        e.arrays, e.arrays_hi, fast_nodes=True, k_chunk=24, **{
+            k: v for k, v in kw.items() if k != "k_chunk"})(ths[:2])
+    assert np.array_equal(np.asarray(sol_wu.status),
+                          np.asarray(sol_mono.status)[:2])
+    assert np.allclose(np.asarray(sol_wu.fval), np.asarray(sol_mono.fval)[:2],
+                       rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.asarray(sol_wu.U), np.asarray(sol_mono.U)[:2],
+                       atol=1e-7)
