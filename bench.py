@@ -596,7 +596,10 @@ def main():
             # program must not poison the main bench's TPU client.
             # LINEARMPC_TPU_BENCH_CONTACT=0 skips (axon compile is long)
             if _os.environ.get("LINEARMPC_TPU_BENCH_CONTACT", "1") != "0":
+                import os.path as _osp
                 import subprocess as _sp
+
+                _repo_dir = _osp.dirname(_osp.abspath(__file__))
 
                 _contact_src = (
                     "import sys, time, json\n"
