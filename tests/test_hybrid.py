@@ -269,14 +269,17 @@ def test_bnb_warm_start_matches_cold():
 
 @pytest.mark.slow
 def test_frontier_solves_contact_scale():
-    """Batched frontier B&B on the full-size colliding pendulum (m=250,
-    40 binaries, massively dual-degenerate relaxations): the Cholesky
-    node solver must find the same optima as the per-lane DFS -- the GI
-    node solver fabricated dual rays here and returned a false -2 for
-    every lane."""
+    """Batched frontier B&B on the colliding pendulum at Np=6 (m=142,
+    24 binaries, degenerate relaxations): the Cholesky node solver must
+    find the same optima as the per-lane DFS -- the GI node solver
+    cycles/fabricates dual rays here. Np=6 rather than the full Np=10:
+    the HONEST full-size tree (after the r4 example fix -- the old
+    'routine m=250 solves' were a meaningless -1e30-bound encoding)
+    needs ~63k node iterations per lane, ~20 min of CPU f64 per lane
+    pair."""
     import numpy as np
 
-    mpc, _ = lmpc.mpc_examples("invpend_contact")
+    mpc, _ = lmpc.mpc_examples("invpend_contact", 6, 6)
     mpc.setup()
     e = mpc.engine
     assert e.use_frontier and not getattr(e, "frontier_pallas", False)
