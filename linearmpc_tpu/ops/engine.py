@@ -859,11 +859,62 @@ class SolverEngine:
                 status_base = jnp.where(
                     infeas32, jnp.int32(-3),
                     jnp.where(bad <= 1e-8, jnp.int32(1), jnp.int32(-1)))
-                return CSolution(
+                out = CSolution(
                     merge(U, fix.U), merge(lam, fix.lam), merge(act, fix.active),
                     merge(side, fix.side), merge(fval, fix.fval),
                     merge(iters, fix.iters), merge(status_base, fix.status),
                 )
+
+                # third (last-resort) guard: the handful of lanes per
+                # 8192 whose working set exhausts even the doubled s2
+                # slot budget or its iteration cap (measured m=256:
+                # resolved_frac 0.99927 -- ~6 lanes). Re-solve the k3
+                # worst still-unresolved lanes at a much wider slot
+                # budget and a doubled cap; ~16 lanes cost milliseconds
+                s3 = min(m_c, ((3 * s2 + 7) // 8) * 8)
+                if s3 > s2:
+                    k3 = min(16, B)
+                    unres = out.status == -1
+
+                    def tier3(out):
+                        score3 = jnp.where(unres, bad.astype(f64), -jnp.inf)
+                        _, idx3 = jax.lax.top_k(score3, k3)
+                        (st_g3, ovf_g3) = jax.vmap(
+                            lambda dut, dlt: _active_set_loop_ciu(
+                                hi, dut, dlt, hi.is_eq, hi.is_immutable,
+                                jnp.zeros(m_c, f64), hi.is_eq,
+                                jnp.ones(m_c, bool),
+                                s_max=s3, max_iter=2 * bulk_cap_c + 48,
+                                primal_tol=min(self.primal_tol, 1e-6),
+                                sign_tol=1e-11,
+                            )
+                        )(du_h[idx3], dl_h[idx3])
+                        U_g3 = (hi.u_off + th64[idx3] @ hi.Uth_off.T
+                                - st_g3.lam @ hi.HinvET.T)
+                        ft_g3 = hi.f + th64[idx3] @ hi.f_theta.T
+                        fval_g3 = (0.5 * jnp.einsum(
+                            "bi,ij,bj->b", U_g3, hi.H, U_g3)
+                            + jnp.sum(ft_g3 * U_g3, axis=1))
+                        st3 = jnp.where(
+                            st_g3.infeas, jnp.int32(-3),
+                            jnp.where(st_g3.done & ~ovf_g3, jnp.int32(1),
+                                      jnp.int32(-1)))
+                        take3 = unres[idx3] & (st3 != -1)
+                        mg3 = lambda base, upd: base.at[idx3].set(jnp.where(
+                            take3.reshape((-1,) + (1,) * (upd.ndim - 1)),
+                            upd, base[idx3]))
+                        return CSolution(
+                            mg3(out.U, U_g3), mg3(out.lam, st_g3.lam),
+                            mg3(out.active, st_g3.active),
+                            mg3(out.side, st_g3.side),
+                            mg3(out.fval, fval_g3),
+                            mg3(out.iters, out.iters[idx3] + st_g3.iters),
+                            mg3(out.status, st3),
+                        )
+
+                    out = jax.lax.cond(jnp.any(unres), tier3,
+                                       lambda out: out, out)
+                return out
 
             self._ciu_batched = jax.jit(_ciu_batch)
             self._ciu_bulk_pallas = _ciu_bulk_pallas  # profiling handle
