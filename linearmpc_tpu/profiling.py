@@ -113,6 +113,41 @@ def iu_bytes_per_lane_iter(m: int) -> float:
     return 2.0 * 4.0 * m * m
 
 
+def ciu_flops_per_lane_iter(m: int, s: int) -> float:
+    """Compact slot kernel (ops/pallas_ciu.py) per lane-iteration: three
+    (m, m) Gram matvecs (``dot(G, .)`` for the working point, the GI add
+    column, and the changed row) plus three first-hit triangular matmuls
+    at 2 m^2 each; seven (s, s*m)-shaped slot gathers/scatters at
+    2 s^2 m each; and ~6 Rw matvecs plus the rank-2 update at O(s^3).
+    The XLA twin (ops/compact_iu) does the same algebra with einsums."""
+    return 12.0 * m * m + 14.0 * s * s * m + 24.0 * s**3 + 60.0 * m
+
+
+def ciu_bytes_per_lane_iter(m: int, s: int) -> float:
+    """HBM traffic of the compact carry per lane-iteration: the scan
+    outside the gridless kernel re-reads and re-writes the seven (m,)
+    state rows, SEL (s*m,) and Rw (s^2,) in f32 every call."""
+    return 4.0 * (16.0 * m + 2.0 * s * m + 2.0 * s * s)
+
+
+def ciu_mfu_line(engine, solves_per_s: float, mean_iters: float,
+                 value: bool = False):
+    """MFU summary for a compact-tier engine (string for logging, or the
+    bare MFU float with ``value=True``); None/'mfu n/a' when the engine
+    does not expose a compact slot budget."""
+    s = getattr(engine, "ciu_s_max", None)
+    if not s:
+        return None if value else "mfu n/a (no compact slot budget)"
+    m = engine.ldp.m
+    rep = mfu_report(solves_per_s, mean_iters, ciu_flops_per_lane_iter(m, s),
+                     bytes_per_lane_iter=ciu_bytes_per_lane_iter(m, s))
+    if value:
+        return round(rep["mfu"], 5)
+    return (f"roofline {rep['achieved_flops']/1e12:.2f} TFLOP/s "
+            f"(MFU {rep['mfu']*100:.1f}%, HBM {rep['hbm_util']*100:.1f}%, "
+            f"model {rep['model_flops_per_solve']/1e6:.2f} MFLOP/solve)")
+
+
 def ds_polish_flops_per_lane(m: int, n: int) -> float:
     """Double-single polish kernel (ops/pallas_polish.py), once per solve:
     subset-inverse gather + double-single (Dekker/Veltkamp EFT, ~4x plain
