@@ -174,7 +174,14 @@ def solve_bnb_single(
         iters=jnp.int32(0),
     )
     final = jax.lax.while_loop(cond, body, init)
-    status = jnp.where(final.inc_found, jnp.int32(1), jnp.int32(-2))
+    # 1 = proven optimal (tree fully explored); 2 = exact incumbent but
+    # the node limit stopped the search early -- ADVICE r4 (frontier and
+    # monolithic paths report the same distinction)
+    budgeted = (final.top > 0) & (final.nodes >= node_limit)
+    status = jnp.where(
+        final.inc_found,
+        jnp.where(budgeted, jnp.int32(2), jnp.int32(1)),
+        jnp.int32(-2))
     return Solution(
         final.inc_U, final.inc_lam, final.inc_active, final.inc_side,
         final.inc_fval, final.iters, status,

@@ -865,26 +865,34 @@ class SolverEngine:
                     merge(iters, fix.iters), merge(status_base, fix.status),
                 )
 
-                # third (last-resort) guard: the handful of lanes per
-                # 8192 whose working set exhausts even the doubled s2
-                # slot budget or its iteration cap (measured m=256:
-                # resolved_frac 0.99927 -- ~6 lanes). Re-solve the k3
-                # worst still-unresolved lanes at a much wider slot
-                # budget and a doubled cap; ~16 lanes cost milliseconds
+                # last-resort guard ladder: the handful of lanes per 8192
+                # whose working set exhausts even the doubled s2 slot
+                # budget or its iteration cap (measured m=256:
+                # resolved_frac 0.99927 -- ~6 lanes; m=512 needed more
+                # than one escalation, VERDICT r4 weak #3). Re-solve the
+                # worst still-unresolved lanes at escalating slot budgets
+                # and iteration caps; each pass is ~16 lanes of f64 slot
+                # loop and costs milliseconds, and each only fires (under
+                # lax.cond) when unresolved lanes remain.
+                guard_cfgs = []
                 s3 = min(m_c, ((3 * s2 + 7) // 8) * 8)
                 if s3 > s2:
-                    k3 = min(16, B)
-                    unres = out.status == -1
+                    guard_cfgs.append((s3, 2 * bulk_cap_c + 48))
+                s4 = min(m_c, max(((2 * s3 + 7) // 8) * 8, 128))
+                if s4 > s3:
+                    guard_cfgs.append((s4, 4 * bulk_cap_c + 96))
 
-                    def tier3(out):
-                        score3 = jnp.where(unres, bad.astype(f64), -jnp.inf)
-                        _, idx3 = jax.lax.top_k(score3, k3)
+                def make_tier(s_g, cap_g, k_g):
+                    def tier(out):
+                        unres_t = out.status == -1
+                        score3 = jnp.where(unres_t, bad.astype(f64), -jnp.inf)
+                        _, idx3 = jax.lax.top_k(score3, k_g)
                         (st_g3, ovf_g3) = jax.vmap(
                             lambda dut, dlt: _active_set_loop_ciu(
                                 hi, dut, dlt, hi.is_eq, hi.is_immutable,
                                 jnp.zeros(m_c, f64), hi.is_eq,
                                 jnp.ones(m_c, bool),
-                                s_max=s3, max_iter=2 * bulk_cap_c + 48,
+                                s_max=s_g, max_iter=cap_g,
                                 primal_tol=min(self.primal_tol, 1e-6),
                                 sign_tol=1e-11,
                             )
@@ -899,7 +907,7 @@ class SolverEngine:
                             st_g3.infeas, jnp.int32(-3),
                             jnp.where(st_g3.done & ~ovf_g3, jnp.int32(1),
                                       jnp.int32(-1)))
-                        take3 = unres[idx3] & (st3 != -1)
+                        take3 = unres_t[idx3] & (st3 != -1)
                         mg3 = lambda base, upd: base.at[idx3].set(jnp.where(
                             take3.reshape((-1,) + (1,) * (upd.ndim - 1)),
                             upd, base[idx3]))
@@ -912,8 +920,13 @@ class SolverEngine:
                             mg3(out.status, st3),
                         )
 
-                    out = jax.lax.cond(jnp.any(unres), tier3,
-                                       lambda out: out, out)
+                    return tier
+
+                for s_g, cap_g in guard_cfgs:
+                    out = jax.lax.cond(
+                        jnp.any(out.status == -1),
+                        make_tier(s_g, cap_g, min(16, B)),
+                        lambda out: out, out)
                 return out
 
             self._ciu_batched = jax.jit(_ciu_batch)
@@ -1339,12 +1352,26 @@ class SolverEngine:
                             "LINEARMPC_TPU_BNB_CHUNK", "24"))
                         _poll = int(_os_b.environ.get(
                             "LINEARMPC_TPU_BNB_POLL", "4"))
+                        # best-first node selection (default: on with
+                        # fast_nodes); LINEARMPC_TPU_BNB_BEST=0/1 overrides
+                        _bf_env = _os_b.environ.get("LINEARMPC_TPU_BNB_BEST", "")
                         _rounds_solve = make_frontier_rounds(
-                            fr_arrays, self.arrays_hi, stack_cap=stack_cap,
+                            fr_arrays, self.arrays_hi,
+                            # best-first keeps a larger open list than the
+                            # DFS depth bound; give it headroom (the f32
+                            # inverse stack is HBM-clamped in solve())
+                            stack_cap=max(stack_cap, min(6 * nb + 2, 256)),
                             node_limit=self.bnb_node_limit,
-                            node_cap=node_cap, k_chunk=_k_chunk,
+                            # the Woodbury/NS walks run ~2-3x longer than
+                            # exact-solve walks on degenerate sets, and a
+                            # cap-hit now honestly demotes the lane to
+                            # status 2 -- size the cap above real walks
+                            node_cap=min(self.iter_limit, 2 * node_cap),
+                            k_chunk=_k_chunk,
                             use_cholesky=self.symmetric,
-                            poll_every=_poll, **fr_tols)
+                            poll_every=_poll,
+                            best_first=None if _bf_env == "" else _bf_env != "0",
+                            **fr_tols)
                         self._frontier_batched = (
                             lambda arrays, hi, ths: _rounds_solve(ths))
                     else:

@@ -125,6 +125,24 @@ def qp2ldp(mpqp: MPQP, *, soft_weight: float = 1e6, normalize: bool = True,
             w = soft_weight * priority_separation ** (n_lvl - 1 - li)
             rho[rows] = 1.0 / w
 
+    # sentinel-aliasing guard (ADVICE r4): the solvers use 1e30 as the
+    # finite "big" sentinel (TPU emulated f64 tops out near f32's 3.4e38
+    # range, CLAUDE.md), so any legitimately reachable value >= ~1e30
+    # would alias it and could be mis-pruned. condense.py sanitizes the
+    # known INF-padding cases; warn on anything else that gets close.
+    for name, arr, lim in (("du", du, 1e20), ("dl", dl, 1e20),
+                           ("Dth", Dth, 1e25), ("f", mpqp.f, 1e25),
+                           ("H", mpqp.H, 1e25)):
+        finite = np.abs(arr[np.abs(arr) < 1e20]) if lim == 1e20 else np.abs(arr)
+        if finite.size and float(np.max(finite)) > 1e25:
+            import warnings
+
+            warnings.warn(
+                f"qp2ldp: |{name}| reaches {float(np.max(finite)):.2e}; "
+                f"values near the solvers' 1e30 finite-infinity sentinel "
+                f"can be mis-pruned (and overflow TPU emulated f64 near "
+                f"3.4e38). Rescale the problem data.", stacklevel=2)
+
     return LDPData(
         G=G, Dth=Dth, du=du, dl=dl,
         HinvET=HinvET, Uth_off=-Hinv_ftheta, u_off=-Hinv_f,
