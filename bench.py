@@ -528,6 +528,43 @@ class Bench:
         res["xla1024_m"] = int(_e.ldp.m)
         OUT.update(res)
 
+    def seg_mp_schur(self):
+        # the shard_map row-sharded mp-Schur CG solver timed ON THE REAL
+        # CHIP (VERDICT r4 next #5: it had only ever run on the virtual
+        # CPU mesh). A 1x1 mesh exercises the real shard_map mechanics
+        # and collective lowering; multi-chip scaling stays validated by
+        # __graft_entry__.dryrun_multichip (hardware-blocked otherwise).
+        from jax.sharding import Mesh
+
+        rng = self.rng
+        mpc_s, _ = self.lmpc.mpc_examples("invpend", 255, 8)
+        mpc_s.add_constraint(Ax=np.eye(4), lb=-18 * np.ones(4),
+                             ub=18 * np.ones(4), ks=range(2, 256))
+        mpc_s.setup()  # f64 engine (mp-Schur runs the f64 CG path)
+        e_s = mpc_s.engine
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "mp"))
+        e_s.attach_mesh(mesh, force=True)
+        B_s = 256
+        ths_s = jnp.asarray(np.hstack([
+            rng.uniform(-5, 5, (B_s, 4)), rng.uniform(-5, 5, (B_s, 2)),
+            rng.uniform(-2, 2, (B_s, 1)),
+        ]), jnp.float64)
+        ths_s.block_until_ready()
+        sol_s = e_s.solve_batch(ths_s)
+        sol_s.U.block_until_ready()
+        best_s = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sol_s = e_s.solve_batch(ths_s)
+            sol_s.U.block_until_ready()
+            best_s = min(best_s, time.perf_counter() - t0)
+        st_s = np.asarray(sol_s.status)
+        log(f"mp-Schur on-chip (m={e_s.ldp.m}, 1x1 mesh, shard_map CG): "
+            f"{B_s/best_s:,.1f} solves/s, converged {np.mean(st_s == 1):.4f}")
+        OUT["mp_schur_m"] = int(e_s.ldp.m)
+        OUT["mp_schur_solves_per_s"] = round(B_s / best_s, 1)
+        OUT["mp_schur_converged_frac"] = float(np.mean(st_s == 1))
+
     # ---- lexicographic hierarchy throughput ----------------------------
     def seg_lex(self):
         from linearmpc_tpu.mpc import MPC as _MPC
@@ -722,6 +759,7 @@ class Bench:
             "print(json.dumps({'m': int(e.ldp.m),\n"
             "  'nb': int(np.sum(np.asarray(e.ldp.is_binary))),\n"
             "  'sps': B / t, 'opt': float(np.mean(st == 1)),\n"
+            "  'budget_limited': float(np.mean(st == 2)),\n"
             "  'iters': float(np.mean(np.asarray(sol.iters))),\n"
             "  'tc': tc}))\n" % _repo_dir)
         try:
@@ -737,11 +775,14 @@ class Bench:
             log(f"hybrid contact (invpend_contact m={_ck['m']}, "
                 f"{_ck['nb']} binaries, host-chunked f64 frontier, "
                 f"subprocess): {_ck['sps']:,.2f} B&B solves/s, "
-                f"optimal {_ck['opt']:.4f}, mean iters "
-                f"{_ck['iters']:.0f} (compile+first {_ck['tc']:.0f} s)")
+                f"optimal {_ck['opt']:.4f} "
+                f"(budget-limited {_ck.get('budget_limited', 0):.4f}), "
+                f"mean iters {_ck['iters']:.0f} "
+                f"(compile+first {_ck['tc']:.0f} s)")
             OUT["contact_m"] = _ck["m"]
             OUT["contact_solves_per_s"] = round(_ck["sps"], 2)
             OUT["contact_optimal_frac"] = _ck["opt"]
+            OUT["contact_budget_limited_frac"] = _ck.get("budget_limited", 0)
         else:
             err = (_cp.stderr.strip().splitlines()[-1]
                    if _cp.stderr.strip() else "no output")
@@ -765,6 +806,7 @@ def main():
         ("compact256", b.seg_compact256, False, 150),
         ("compact512", b.seg_compact512, False, 150),
         ("xla1024", b.seg_xla1024, False, 200),
+        ("mp_schur", b.seg_mp_schur, False, 200),
         ("lex", b.seg_lex, False, 60),
         ("hybrid", b.seg_hybrid, False, 240),
         ("offline", b.seg_offline, False, 200),

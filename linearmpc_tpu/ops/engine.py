@@ -476,7 +476,11 @@ class SolverEngine:
                     s_max = cand_s
             self.ciu_s_max = s_max
             self.use_ciu_batch = True
-            REFINE_C = 6
+            # f64 Richardson passes through the compact-slot
+            # preconditioner; each pass is an emulated-f64 (B, m)@(m, m)
+            # matmul, a dominant finishing cost at m >= 256 (env-tunable
+            # for on-chip tuning probes)
+            REFINE_C = int(_os_c.environ.get("LINEARMPC_TPU_CIU_REFINE", "6"))
             P_c = jax.lax.Precision.HIGHEST
             bulk_cap_c = min(self.iter_limit, 2 * m_c + 24)
 
