@@ -23,9 +23,7 @@ kw = dict(stack_cap=2 * 4 * NP + 2, node_limit=e.bnb_node_limit,
           node_cap=2 * e.ldp.m + 24, k_chunk=24, poll_every=4,
           primal_tol=min(e.primal_tol, 1e-6), sign_tol=1e-11)
 cfgs = [
-    ("gate+bf", dict(best_first=True, stale_tol=1e-2)),
-    ("nogate+bf", dict(best_first=True, stale_tol=1e30)),
-    ("gate+lifo", dict(best_first=False, stale_tol=1e-2)),
+    ("default", dict(best_first=True)),
 ]
 for name, extra in cfgs:
     solver = bf.make_frontier_rounds(hi, hi, fast_nodes=True, **kw, **extra)

@@ -879,7 +879,7 @@ def make_frontier_rounds(
     fast_nodes: bool = True,
     best_first: bool | None = None,
     drift_tol: float = 1e-2,
-    stale_tol: float = 1e-2,
+    stale_tol: float = 1e30,
     ridge: float | None = None,
 ) -> Callable:
     """Build a host-driven chunked-frontier solver (masked-Cholesky node
@@ -914,7 +914,13 @@ def make_frontier_rounds(
       batched emulated-f64 Cholesky (~50 ms/round on axon, ~60% of the
       r4 contact wall time). A per-round drift certificate
       ``max|I - M R|`` reseeds any lane whose carried inverse degrades
-      (lax.cond -- the factorization only runs when triggered).
+      (lax.cond -- the factorization only runs when triggered). The
+      in-loop staleness gate defaults OFF (``stale_tol=1e30``): its
+      refinement-correction threshold, tuned on CPU f64, misfires under
+      the TPU's emulated double-double f64 (measured m=142: reseeds on
+      ~90% of rounds, 1102 s vs 234 s with the gate off) -- the
+      end-of-round certificate catches genuine garbage at ~8% of rounds
+      worst case.
     * ``best_first`` (default: follows ``fast_nodes``) replaces the LIFO
       pop with bound-ordered node selection once an incumbent exists
       (deepest-first diving before), over an occupancy-mask stack.
