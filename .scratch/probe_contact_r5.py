@@ -23,10 +23,17 @@ kw = dict(stack_cap=2 * 4 * NP + 2, node_limit=e.bnb_node_limit,
           node_cap=2 * e.ldp.m + 24, k_chunk=24, poll_every=4,
           primal_tol=min(e.primal_tol, 1e-6), sign_tol=1e-11)
 cfgs = [
-    ("default", dict(best_first=True)),
+    ("ridge1e-6", dict(best_first=True, ridge=1e-6)),
+    ("ridge1e-5", dict(best_first=True, ridge=1e-5)),
+    ("ridge1e-6_k48", dict(best_first=True, ridge=1e-6)),
 ]
+kw2 = dict(kw)
+
 for name, extra in cfgs:
-    solver = bf.make_frontier_rounds(hi, hi, fast_nodes=True, **kw, **extra)
+    kwx = dict(kw)
+    if name.endswith("k48"):
+        kwx["k_chunk"] = 48
+    solver = bf.make_frontier_rounds(hi, hi, fast_nodes=True, **kwx, **extra)
     t0 = time.perf_counter()
     sol = solver(ths)
     sol.U.block_until_ready()

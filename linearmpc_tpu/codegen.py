@@ -287,7 +287,11 @@ static int mpc_solve_bnb(const c_float *dloc0, c_float *lam_out)
             }
         }
     }
-    return inc_found ? 1 : -4;
+    /* 1 = proven optimal; 2 = exact incumbent but the node limit stopped
+     * the search (best found under budget) -- same split as the batched
+     * solvers */
+    if (inc_found) return top > 0 ? 2 : 1;
+    return -4;
 }
 #endif /* N_BINARY > 0 */
 
@@ -320,7 +324,7 @@ int mpc_compute_control(c_float *control, c_float *state, c_float *reference,
         for (j = 0; j < N_CON; j++) u -= MPC_HET[i * N_CON + j] * lam[j];
         control[i] = u;
     }
-    return 1;
+    return flag; /* 1 = optimal; 2 = B&B best-under-budget */
 }
 """
 
