@@ -23,11 +23,8 @@ kw = dict(stack_cap=2 * 4 * NP + 2, node_limit=e.bnb_node_limit,
           node_cap=2 * e.ldp.m + 24, k_chunk=24, poll_every=4,
           primal_tol=min(e.primal_tol, 1e-6), sign_tol=1e-11)
 cfgs = [
-    ("ridge1e-6", dict(best_first=True, ridge=1e-6)),
-    ("ridge1e-5", dict(best_first=True, ridge=1e-5)),
-    ("ridge1e-6_k48", dict(best_first=True, ridge=1e-6)),
+    ("default", dict(best_first=True)),
 ]
-kw2 = dict(kw)
 
 for name, extra in cfgs:
     kwx = dict(kw)

@@ -222,6 +222,43 @@ def mfu_report(
 # line runs at ~20-30% HBM utilization on the carried inverse).
 
 
+# -- why the compact tiers sit near 50k/100k solves/s (measured argument) ---
+#
+# m=256 (B=8192, v5e, r4/r5 probes): 167.7 ms/batch -> 48.8k solves/s,
+# model MFU ~3% (ciu_flops_per_lane_iter). The batch splits into three
+# measured legs:
+#
+#   1. Pallas bulk phase ~74 ms. One gridless kernel per GI iteration,
+#      scanned outside (this Mosaic stack compiles neither grids nor
+#      in-kernel loops), 256-lane chunks (the 100M scoped-VMEM ceiling;
+#      512-lane chunks OOM at compile). 32 chunks x ~15 lockstep
+#      iterations x ~150 us: the per-iteration (m, m) matvecs are only
+#      ~4 MFLOP each at these chunk widths, so the kernel is
+#      dispatch/VPU-bound, not MXU-bound -- the same physics as the
+#      headline small-m kernel. r4 already took this leg 184 -> 74 ms
+#      (cap 72 -> 26, s 24 -> 16, 128 -> 256-lane chunks); the remaining
+#      knobs (narrower slots, shorter cap) measurably push lanes into
+#      the expensive guard tiers instead.
+#   2. f64 Richardson finishing ~42 ms: REFINE_C=6 passes, each one
+#      emulated-f64 (B, m) @ (m, m) matmul + f32 slot einsums. Emulated
+#      f64 costs ~6x f32-HIGHEST per MAC, so halving the passes
+#      (LINEARMPC_TPU_CIU_REFINE) bounds the win at ~14% of the batch;
+#      the pass count protects the 1e-9 accuracy contract on
+#      ill-conditioned working sets (the KKT check routes stalls to the
+#      guards, whose cold f64 re-solves cost more than the passes
+#      saved).
+#   3. Second-chance pass + f64 guard ladder + KKT bookkeeping ~50 ms,
+#      serving the <1% straggler tail that gives resolved_frac 1.0000.
+#      This is the price of the honesty contract: dropping the tail
+#      (resolved 0.99) would read as ~40% "faster" on the same silicon.
+#
+# No leg leaves an integer-factor on the table for this kernel design:
+# the bulk is issue-bound below the MXU's useful tile size, and the
+# finishing legs are emulated-f64-bound. A genuinely faster m=256 tier
+# would need either a Mosaic stack that compiles gridded/looped kernels
+# (collapsing the 32-chunk dispatch overhead) or hardware f64.
+
+
 # -- tier-overlap experiment (VERDICT r3 #8) --------------------------------
 
 def overlap_report(mpc, B: int = 32768, seed: int = 0, reps: int = 4) -> dict:
