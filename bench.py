@@ -15,7 +15,7 @@ the contact subprocess and the round lost ALL official numbers): the
 accumulated JSON record is re-printed after EVERY segment (the driver takes
 the last ``{...}`` stdout line, so a timeout now loses segments, not the
 round), a SIGTERM/SIGINT handler prints the record before dying, and an
-overall wall budget (LINEARMPC_TPU_BENCH_BUDGET_S, default 2700 s) skips
+overall wall budget (LINEARMPC_TPU_BENCH_BUDGET_S, default 3300 s) skips
 remaining optional segments once exceeded.  The long open-ended segments
 (full-range certification, contact-problem compile) run LAST.
 """
@@ -35,7 +35,7 @@ import numpy as np
 
 OUT = {}
 T_START = time.time()
-BUDGET_S = float(os.environ.get("LINEARMPC_TPU_BENCH_BUDGET_S", "2700"))
+BUDGET_S = float(os.environ.get("LINEARMPC_TPU_BENCH_BUDGET_S", "3300"))
 _EMITTED_FINAL = False
 
 
