@@ -56,6 +56,7 @@ def make_mp_batch_solver(
     primal_tol: float = 1e-6,
     sign_tol: float = 1e-9,
     dtype=jnp.float64,
+    ridge: float = 1e-8,
 ):
     """Compile a (dp, mp)-sharded batched LDP solver for ``ldp``.
 
@@ -76,6 +77,14 @@ def make_mp_batch_solver(
     Gs = np.zeros((m, m))
     Gs[:m_true, :m_true] = ldp.G + np.diag(np.asarray(ldp.rho_soft, dtype=np.float64))
     Gs[range(m_true, m), range(m_true, m)] = 1.0
+    # ridge on the masked system (rows are G-normalized to unit diagonal,
+    # so this bounds its condition number near 1/ridge): on the TPU's
+    # emulated double-double f64, CG against the UNRIDGED system on
+    # massively degenerate working sets cannot reach the exit tolerance
+    # and the walk cycles -- measured m=1024 on-chip: 5% converged
+    # without the ridge. Same remedy as ops/bnb_frontier.py's maintained
+    # inverse; the final KKT verification keeps the TRUE primal slacks.
+    Gs[range(m), range(m)] += ridge
     G_plain = np.zeros((m, m))
     G_plain[:m_true, :m_true] = ldp.G
 
@@ -98,8 +107,16 @@ def make_mp_batch_solver(
         H=cast(ldp.H), f=cast(ldp.f), f_theta=cast(ldp.f_theta),
         is_eq=jnp.asarray(is_eq), immut=jnp.asarray(immut),
     )
-    # row-sharded Gram blocks: (m, m) split along rows over mp
+    # row-sharded Gram blocks: (m, m) split along rows over mp. The
+    # UNRIDGED masked matrix is kept alongside: the working-set walk
+    # iterates the ridged system (conditioning), then a final CG polish
+    # on the true system -- warm-started from the ridged solution, whose
+    # error is only O(ridge * ||lam||) -- restores exact-contract
+    # accuracy before primal recovery and KKT verification.
+    Gs_true = Gs.copy()
+    Gs_true[range(m), range(m)] -= ridge
     Gs_sh = jax.device_put(cast(Gs), NamedSharding(mesh, P("mp", None)))
+    Gst_sh = jax.device_put(cast(Gs_true), NamedSharding(mesh, P("mp", None)))
     Gp_sh = jax.device_put(cast(G_plain), NamedSharding(mesh, P("mp", None)))
     # finite sentinel, NOT finfo(f64).max: the TPU's emulated f64 tops out
     # near f32's 3.4e38 range, so finfo(f64).max lands on-device as inf
@@ -120,18 +137,26 @@ def make_mp_batch_solver(
     # CG exits on the residual dropping well below the solver's sign/
     # primal tolerances (not only on the iteration budget): an
     # under-converged lam_star would silently corrupt the working-set
-    # logic on ill-conditioned active sets
-    cg_tol2 = jnp.asarray(min(sign_tol, primal_tol) ** 2 * 1e-4, dtype)
+    # logic on ill-conditioned active sets. The tolerance is per lane
+    # and RELATIVE to ||rhs|| with an absolute floor -- a fixed absolute
+    # target sits below the emulated-f64 residual floor on TPU and every
+    # CG burned its full budget without converging
+    cg_abs2 = jnp.asarray(min(sign_tol, primal_tol) ** 2 * 1e-4, dtype)
+    cg_rel = jnp.asarray(1e-11, dtype)
 
     def cg_solve(G_local, act, rhs, x0):
-        """Batched CG on the masked SPD system (unit diagonal); warm
-        started from the current multipliers (close to lam_star after the
-        first few working-set changes). Runs until every lane's residual
-        norm-squared is below ``cg_tol2`` or the iteration budget is hit."""
+        """Batched CG on the masked SPD system (unit diagonal + ridge);
+        warm started from the current multipliers (close to lam_star
+        after the first few working-set changes). Runs until every
+        lane's residual norm-squared is below its tolerance or the
+        iteration budget is hit."""
         x = x0
         r = rhs - mp_matvec(G_local, x, act)
         p = r
         rr = jnp.sum(r * r, axis=-1, keepdims=True)
+        tol2 = jnp.maximum(cg_abs2,
+                           (cg_rel ** 2) * jnp.sum(rhs * rhs, axis=-1,
+                                                   keepdims=True))
 
         def body(state):
             x, r, p, rr, i = state
@@ -147,14 +172,14 @@ def make_mp_batch_solver(
 
         def cond(state):
             _x, _r, _p, rr, i = state
-            return (i < cg_iter) & (jnp.max(rr) > cg_tol2)
+            return (i < cg_iter) & jnp.any(rr > tol2)
 
         x, r, p, rr, _ = jax.lax.while_loop(
             cond, body, (x, r, p, rr, jnp.int32(0))
         )
         return x
 
-    def solver_block(G_local, Gp_local, thetas):
+    def solver_block(G_local, Gt_local, Gp_local, thetas):
         """Runs per (dp, mp) device block under shard_map; thetas is the
         local (b, n_theta) lane shard (replicated over mp)."""
         b = thetas.shape[0]
@@ -224,6 +249,12 @@ def make_mp_batch_solver(
             cond, body, (lam0, act0, side0, done0, it0)
         )
 
+        # final polish: re-solve the converged working set on the TRUE
+        # (unridged) system, warm from the ridged solution
+        actf_p = act.astype(dtype)
+        rhs_p = -actf_p * jnp.where(side, du_t, dl_t)
+        lam = cg_solve(Gt_local, actf_p, rhs_p, actf_p * lam)
+
         # primal recovery (replicated small matvecs)
         U = consts["u_off"] + thetas @ consts["Uth_off"].T - lam @ consts["HinvET"].T
         f_t = consts["f"] + thetas @ consts["f_theta"].T
@@ -235,7 +266,7 @@ def make_mp_batch_solver(
         actf = act.astype(dtype)
         d_side = jnp.where(side, du_t, dl_t)
         kkt_res = jnp.max(
-            jnp.abs(mp_matvec(G_local, lam, actf) - (-actf * d_side)), axis=-1
+            jnp.abs(mp_matvec(Gt_local, lam, actf) - (-actf * d_side)), axis=-1
         )
         c = mp_matvec(Gp_local, lam)
         inact = ~act & ~immut
@@ -252,11 +283,11 @@ def make_mp_batch_solver(
 
     sharded = shard_map(
         solver_block, mesh=mesh,
-        in_specs=(P("mp", None), P("mp", None), P("dp", None)),
+        in_specs=(P("mp", None), P("mp", None), P("mp", None), P("dp", None)),
         out_specs=(P("dp", None),) * 4 + (P("dp"),) * 3,
         check_vma=False,
     )
-    jitted = jax.jit(lambda th: sharded(Gs_sh, Gp_sh, th))
+    jitted = jax.jit(lambda th: sharded(Gs_sh, Gst_sh, Gp_sh, th))
     theta_sharding = NamedSharding(mesh, P("dp", None))
 
     def solve(thetas) -> Solution:
