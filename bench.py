@@ -407,13 +407,19 @@ class Bench:
         ths.block_until_ready()
         sol = e_c.solve_batch(ths)
         sol.U.block_until_ready()
+        # stream discipline (CLAUDE.md bench methodology): enqueue a
+        # short stream per trial and block ONCE -- per-batch blocking
+        # charges the axon tunnel's ~25 ms completion poll to every
+        # batch (measured: 18% of the m=128 tier's batch time)
         best = 1e9
         resolved_runs = []
+        stream = 2
         for _ in range(reps):
             t0 = time.perf_counter()
-            sol = e_c.solve_batch(ths)
-            sol.U.block_until_ready()
-            best = min(best, time.perf_counter() - t0)
+            outs = [e_c.solve_batch(ths) for _ in range(stream)]
+            outs[-1].U.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / stream)
+            sol = outs[-1]
             resolved_runs.append(
                 float(np.mean(np.asarray(sol.status) != -1)))
         st = np.asarray(sol.status)
@@ -737,7 +743,7 @@ class Bench:
         import os.path as _osp
         import subprocess as _sp
 
-        budget = min(600.0, max(60.0, remaining() - 60.0))
+        budget = min(900.0, max(60.0, remaining() - 60.0))
         _repo_dir = _osp.dirname(_osp.abspath(__file__))
         _contact_src = (
             "import sys, time, json\n"
@@ -749,7 +755,7 @@ class Bench:
             "mpc, _ = lmpc.mpc_examples('invpend_contact', 6, 6)\n"
             "mpc.setup(dtype=jnp.float32)\n"
             "e = mpc.engine\n"
-            "B = 16\n"
+            "B = 8\n"
             "rng = np.random.default_rng(7)\n"
             "ths = rng.uniform(-0.3, 0.3, (B, e.ldp.n_theta))\n"
             "t0 = time.perf_counter()\n"
@@ -817,7 +823,7 @@ def main():
         ("xla1024", b.seg_xla1024, False, 200),
         ("mp_schur", b.seg_mp_schur, False, 200),
         ("moveblock", b.seg_moveblock, False, 90),
-        ("contact", b.seg_contact, False, 300),
+        ("contact", b.seg_contact, False, 600),
     ]
     skipped = []
     for name, fn, required, est in segments:

@@ -56,7 +56,9 @@ def make_mp_batch_solver(
     primal_tol: float = 1e-6,
     sign_tol: float = 1e-9,
     dtype=jnp.float64,
-    ridge: float = 1e-8,
+    ridge: float = 1e-6,
+    polish_steps: int | None = None,
+    polish_ridge: float | None = None,
 ):
     """Compile a (dp, mp)-sharded batched LDP solver for ``ldp``.
 
@@ -107,14 +109,30 @@ def make_mp_batch_solver(
         H=cast(ldp.H), f=cast(ldp.f), f_theta=cast(ldp.f_theta),
         is_eq=jnp.asarray(is_eq), immut=jnp.asarray(immut),
     )
-    # row-sharded Gram blocks: (m, m) split along rows over mp. The
-    # UNRIDGED masked matrix is kept alongside: the working-set walk
-    # iterates the ridged system (conditioning), then a final CG polish
-    # on the true system -- warm-started from the ridged solution, whose
-    # error is only O(ridge * ||lam||) -- restores exact-contract
-    # accuracy before primal recovery and KKT verification.
+    # row-sharded Gram blocks: (m, m) split along rows over mp. A
+    # NEAR-UNRIDGED copy is kept alongside: the working-set walk iterates
+    # the robustly ridged system (conditioning), then a Richardson polish
+    # against this polish target -- each correction solved on the walk
+    # system -- restores accuracy. The polish target keeps a tiny ridge
+    # on TPU (emulated f64): with a strictly positive target ridge the
+    # Richardson iteration matrix I - M_walk^-1 M_polish has spectral
+    # radius <= 1 - rp/ridge < 1 on EVERY eigenspace, including the
+    # masked system's null space, where a ridge-0 target made the
+    # correction grow by res_null/ridge per pass (measured on-chip:
+    # polish passes CREATED NaN lanes, 9 -> 116 of 256). Null-space
+    # multiplier components never affect U (null(G_mask) vectors v have
+    # E'v = 0 exactly, since v'Gv = ||H^-1/2 E'v||^2). On CPU (real
+    # f64) the target ridge is 0 and this reduces to the exact polish.
+    if polish_ridge is None:
+        polish_ridge = 0.0 if jax.default_backend() == "cpu" else 1e-8
+    if polish_steps is None:
+        # emulated f64: each extra Richardson pass compounds the
+        # double-double rounding on ill-conditioned lanes (measured
+        # on-chip: more passes -> more NaN lanes); one pass recovers
+        # most of the ridge-induced error. Real f64 runs the full polish.
+        polish_steps = 4 if jax.default_backend() == "cpu" else 1
     Gs_true = Gs.copy()
-    Gs_true[range(m), range(m)] -= ridge
+    Gs_true[range(m), range(m)] -= ridge - polish_ridge
     Gs_sh = jax.device_put(cast(Gs), NamedSharding(mesh, P("mp", None)))
     Gst_sh = jax.device_put(cast(Gs_true), NamedSharding(mesh, P("mp", None)))
     Gp_sh = jax.device_put(cast(G_plain), NamedSharding(mesh, P("mp", None)))
@@ -141,22 +159,33 @@ def make_mp_batch_solver(
     # and RELATIVE to ||rhs|| with an absolute floor -- a fixed absolute
     # target sits below the emulated-f64 residual floor on TPU and every
     # CG burned its full budget without converging
+    # the relative target must sit ABOVE the CG residual floor
+    # eps * cond(M_ridged): with the 1e-6 ridge and unit-diagonal rows,
+    # cond <= 1e6 and the TPU's emulated-f64 floor is ~2e-9
     cg_abs2 = jnp.asarray(min(sign_tol, primal_tol) ** 2 * 1e-4, dtype)
-    cg_rel = jnp.asarray(1e-11, dtype)
+    cg_rel = jnp.asarray(1e-7, dtype)
 
     def cg_solve(G_local, act, rhs, x0):
         """Batched CG on the masked SPD system (unit diagonal + ridge);
         warm started from the current multipliers (close to lam_star
         after the first few working-set changes). Runs until every
         lane's residual norm-squared is below its tolerance or the
-        iteration budget is hit."""
-        x = x0
-        r = rhs - mp_matvec(G_local, x, act)
+        iteration budget is hit.
+
+        The system is NORMALIZED per lane by ||rhs|| before iterating:
+        on ill-conditioned masked systems the raw CG iterates (p, q, rr)
+        can overflow the TPU's emulated-f64 range (~3.4e38 -- CLAUDE.md),
+        poisoning whole lanes with NaN multipliers (observed on-chip at
+        m=1024 before the change); with a unit-norm right-hand side every
+        intermediate stays within ~cond(M) of unity."""
+        rn = jnp.sqrt(jnp.sum(rhs * rhs, axis=-1, keepdims=True))
+        scale = jnp.maximum(rn, 1e-30)
+        rhs_n = rhs / scale
+        x = x0 / scale
+        r = rhs_n - mp_matvec(G_local, x, act)
         p = r
         rr = jnp.sum(r * r, axis=-1, keepdims=True)
-        tol2 = jnp.maximum(cg_abs2,
-                           (cg_rel ** 2) * jnp.sum(rhs * rhs, axis=-1,
-                                                   keepdims=True))
+        tol2 = jnp.maximum(cg_abs2 / (scale * scale), (cg_rel ** 2))
 
         def body(state):
             x, r, p, rr, i = state
@@ -177,7 +206,7 @@ def make_mp_batch_solver(
         x, r, p, rr, _ = jax.lax.while_loop(
             cond, body, (x, r, p, rr, jnp.int32(0))
         )
-        return x
+        return x * scale
 
     def solver_block(G_local, Gt_local, Gp_local, thetas):
         """Runs per (dp, mp) device block under shard_map; thetas is the
@@ -249,11 +278,21 @@ def make_mp_batch_solver(
             cond, body, (lam0, act0, side0, done0, it0)
         )
 
-        # final polish: re-solve the converged working set on the TRUE
-        # (unridged) system, warm from the ridged solution
+        # final polish: ridged-CG-preconditioned Richardson on the TRUE
+        # system's residual. Plain CG on the unridged masked system
+        # cannot converge on degenerate working sets (condition number
+        # unbounded; measured 0% convergence on-chip); Richardson with
+        # the ridged solve contracts the range-space error by
+        # ~ridge/lambda per pass, and the null-space components it
+        # cannot fix do not affect U at all (null(G_mask) vectors v have
+        # E'v = 0 exactly, since v'Gv = ||H^-1/2 E'v||^2).
         actf_p = act.astype(dtype)
         rhs_p = -actf_p * jnp.where(side, du_t, dl_t)
-        lam = cg_solve(Gt_local, actf_p, rhs_p, actf_p * lam)
+        lam = actf_p * lam
+        for _ in range(polish_steps):
+            res_p = rhs_p - mp_matvec(Gt_local, lam, actf_p)
+            lam = lam + cg_solve(G_local, actf_p, res_p,
+                                 jnp.zeros_like(lam))
 
         # primal recovery (replicated small matvecs)
         U = consts["u_off"] + thetas @ consts["Uth_off"].T - lam @ consts["HinvET"].T
