@@ -478,9 +478,14 @@ class SolverEngine:
             self.use_ciu_batch = True
             # f64 Richardson passes through the compact-slot
             # preconditioner; each pass is an emulated-f64 (B, m)@(m, m)
-            # matmul, a dominant finishing cost at m >= 256 (env-tunable
-            # for on-chip tuning probes)
-            REFINE_C = int(_os_c.environ.get("LINEARMPC_TPU_CIU_REFINE", "6"))
+            # matmul, a dominant finishing cost at m >= 256. Measured
+            # on-chip (m=256, B=8192, r5): 6 passes 48.8k solves/s, 4
+            # passes 52.6k, 3 passes 53.1k -- all at resolved 1.0 and
+            # err ~2e-13 (the f64 KKT check routes any Richardson stall
+            # to the guard tiers, so fewer passes cannot cost
+            # correctness, only guard traffic). Default 4 keeps one
+            # pass of margin over the measured need.
+            REFINE_C = int(_os_c.environ.get("LINEARMPC_TPU_CIU_REFINE", "4"))
             P_c = jax.lax.Precision.HIGHEST
             bulk_cap_c = min(self.iter_limit, 2 * m_c + 24)
 
